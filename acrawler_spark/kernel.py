@@ -40,7 +40,8 @@ def canonicalize_url(url: str) -> str:
     parts = urlsplit(pre)
     if parts.netloc and not parts.path:
         pre = pre + "/"
-    if sep and query:
+    if sep:
+        # empty query keeps its '?' — reference replaces "" with "" (no-op)
         query = "&".join(sorted(query.split("&")))
         return pre + "?" + query
     return pre

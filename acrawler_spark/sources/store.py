@@ -1,0 +1,117 @@
+"""Checkpointed table store — per-round snapshot commits, resume-exact.
+
+Emulates the Iceberg snapshot-per-round layout of the north rule on a plain
+filesystem (this sandbox has no Iceberg runtime jar). The layout keeps the
+same scale properties Iceberg would give:
+
+* ``seen`` (the 10^10-row table) is **append-only**: one parquet delta per
+  round under ``seen/delta_round=N/``; a reader unions the deltas. In
+  production this binds 1:1 to an Iceberg append + bucket(fingerprint)
+  partitioning — no rewrite of the big table ever happens.
+* ``frontier`` is bounded (the active crawl horizon), so it is rewritten
+  per round (Iceberg: copy-on-write MERGE).
+* ``items`` / ``fetch_log`` / ``metrics`` / ``lineage`` are append-only
+  round deltas.
+* the manifest (``_manifest.json``) is committed atomically (tmp + rename),
+  so a job killed mid-round resumes from the last fully-committed round —
+  the in-flight round simply re-runs (reference analog: crawler.py:558-638
+  pickle persistence + shutdown put-back crawler.py:128-134).
+
+Reference parity: the store replaces aCrawler's pickle/Redis persistence
+(crawler.py:558-638); `seen` replaces SetDupefilter/RedisDupefilter state
+(scheduler.py:39-93).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+APPEND_TABLES = ("seen", "items", "fetch_log", "metrics", "lineage", "failed")
+REWRITE_TABLES = ("frontier",)
+
+MANIFEST = "_manifest.json"
+
+
+class CheckpointStore:
+    def __init__(self, root: str, spark: SparkSession):
+        self.root = root
+        self.spark = spark
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest -----------------------------------------------------------
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, MANIFEST)
+
+    def read_manifest(self) -> dict:
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return {"round": -1, "committed": []}
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_manifest(self, manifest: dict) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path())  # atomic commit point
+
+    @property
+    def last_round(self) -> int:
+        return self.read_manifest()["round"]
+
+    # -- paths --------------------------------------------------------------
+
+    def _delta_path(self, table: str, rnd: int) -> str:
+        return os.path.join(self.root, table, f"delta_round={rnd}")
+
+    def _frontier_path(self, rnd: int) -> str:
+        return os.path.join(self.root, "frontier", f"round={rnd}")
+
+    # -- write (staged; becomes visible only at commit_round) ----------------
+
+    def write_delta(self, table: str, rnd: int, df: DataFrame) -> None:
+        assert table in APPEND_TABLES, table
+        df.write.mode("overwrite").parquet(self._delta_path(table, rnd))
+
+    def write_frontier(self, rnd: int, df: DataFrame) -> None:
+        df.write.mode("overwrite").parquet(self._frontier_path(rnd))
+
+    def commit_round(self, rnd: int, extra: dict | None = None) -> None:
+        m = self.read_manifest()
+        m["round"] = rnd
+        m["committed"] = sorted(set(m.get("committed", [])) | {rnd})
+        if extra:
+            m.setdefault("rounds", {})[str(rnd)] = extra
+        self._write_manifest(m)
+
+    def abort_uncommitted(self, rnd: int) -> None:
+        """Drop staged files from a round that never committed (crash replay)."""
+        for t in APPEND_TABLES:
+            shutil.rmtree(self._delta_path(t, rnd), ignore_errors=True)
+        shutil.rmtree(self._frontier_path(rnd), ignore_errors=True)
+
+    # -- read (only committed rounds) ----------------------------------------
+
+    def read_frontier(self, rnd: int | None = None) -> DataFrame | None:
+        rnd = self.last_round if rnd is None else rnd
+        if rnd < 0:
+            return None
+        return self.spark.read.parquet(self._frontier_path(rnd))
+
+    def read_appended(self, table: str, upto_round: int | None = None) -> DataFrame | None:
+        """Union of committed deltas. At Iceberg scale this is a single
+        partitioned-table scan; here an explicit multi-path parquet read."""
+        upto = self.last_round if upto_round is None else upto_round
+        paths = [
+            self._delta_path(table, r)
+            for r in self.read_manifest().get("committed", [])
+            if r <= upto and os.path.exists(self._delta_path(table, r))
+        ]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
