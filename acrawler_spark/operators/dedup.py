@@ -1,0 +1,181 @@
+"""URL-seen dedup: partitioned Bloom prefilter + exact anti-join.
+
+Reference semantics (scheduler.py:39-62, 282-291): a candidate task is
+admitted iff its fingerprint is not in the seen set; the fingerprint is
+added at **schedule time** — a scheduled URL that later fails every retry
+stays seen and is never re-crawled (SURVEY §2.3 critical semantic).
+``dont_filter`` rows (retries/recrawl/reschedules) bypass the filter
+entirely (scheduler.py:283-285) — in this engine they never leave the
+frontier, so the filter below only ever sees newly-discovered candidates.
+
+Batch admission contract: candidates discovered within one round are
+deduplicated by earliest deterministic discovery index (SURVEY §7), then
+anti-joined against the seen table. Admitted fingerprints are appended to
+``seen`` in the same round commit, before they are ever fetched.
+
+Scale path (the north rule's partitioned Bloom): the seen table is hash-
+range-bucketed by fingerprint; a per-bucket Bloom sidecar answers "possibly
+seen?" so the exact anti-join only processes candidates whose bucket Bloom
+says maybe — in a growing crawl most candidates are new, so most rows skip
+the join. Bloom hash inputs (h1/h2/bucket) are derived from the sha1 hex
+JVM-side (conv/substring — codegen); only the m-bit membership probe runs
+in numpy inside an Arrow batch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_K = 7  # hash probes => ~1% fpp at 10 bits/key
+
+
+def _hash_cols(df: DataFrame, n_buckets: int) -> DataFrame:
+    """h1/h2 from the sha1 hex digest (60 bits each), bucket from tail bits —
+    all JVM built-ins, no Python."""
+    return (
+        df.withColumn("_h1", F.conv(F.substring("fingerprint", 1, 15), 16, 10).cast("long"))
+        .withColumn(
+            "_h2",
+            F.conv(F.substring("fingerprint", 16, 15), 16, 10).cast("long").bitwiseOR(F.lit(1)),
+        )
+        .withColumn(
+            "_bucket",
+            F.pmod(F.conv(F.substring("fingerprint", 31, 8), 16, 10).cast("long"), F.lit(n_buckets)),
+        )
+    )
+
+
+class BloomSidecar:
+    """Per-bucket Bloom bit arrays persisted next to the seen table.
+
+    Layout: ``<path>/meta.json`` + ``<path>/bucket_<i>.npy`` (uint64 words).
+    Updates are incremental (OR new bits in); loads are lazy. In production
+    each bucket file lives beside its Iceberg seen-partition and is
+    rewritten by the executor that owns the bucket; at sandbox scale the
+    driver owns all buckets.
+    """
+
+    def __init__(self, path: str, n_buckets: int = 16, m_bits: int = 1 << 20):
+        self.path = path
+        self.n_buckets = n_buckets
+        self.m_bits = m_bits
+        self._arrays: dict[int, np.ndarray] = {}
+        meta = os.path.join(path, "meta.json")
+        if os.path.exists(meta):
+            with open(meta) as f:
+                m = json.load(f)
+            self.n_buckets, self.m_bits = m["n_buckets"], m["m_bits"]
+
+    def _bucket_file(self, b: int) -> str:
+        return os.path.join(self.path, f"bucket_{b}.npy")
+
+    def _load(self, b: int) -> np.ndarray:
+        if b not in self._arrays:
+            f = self._bucket_file(b)
+            if os.path.exists(f):
+                self._arrays[b] = np.load(f)
+            else:
+                self._arrays[b] = np.zeros(self.m_bits // 64, dtype=np.uint64)
+        return self._arrays[b]
+
+    def save(self) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, "meta.json"), "w") as f:
+            json.dump({"n_buckets": self.n_buckets, "m_bits": self.m_bits}, f)
+        for b, arr in self._arrays.items():
+            np.save(self._bucket_file(b), arr)
+
+    # -- membership ----------------------------------------------------------
+
+    def _probe_positions(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        m = np.uint64(self.m_bits)
+        idx = np.empty((_K, h1.shape[0]), dtype=np.uint64)
+        h1u = h1.astype(np.uint64)
+        h2u = h2.astype(np.uint64)
+        for i in range(_K):
+            idx[i] = (h1u + np.uint64(i) * h2u) % m
+        return idx
+
+    def _contains(self, bucket: int, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        arr = self._load(bucket)
+        idx = self._probe_positions(h1, h2)
+        words = arr[(idx >> np.uint64(6)).astype(np.int64)]
+        bits = (words >> (idx & np.uint64(63))) & np.uint64(1)
+        return bits.all(axis=0).astype(bool)
+
+    def _add(self, bucket: int, h1: np.ndarray, h2: np.ndarray) -> None:
+        arr = self._load(bucket)
+        idx = self._probe_positions(h1, h2).reshape(-1)
+        np.bitwise_or.at(arr, (idx >> np.uint64(6)).astype(np.int64), np.uint64(1) << (idx & np.uint64(63)))
+
+    # -- DataFrame API --------------------------------------------------------
+
+    def with_maybe_seen(self, df: DataFrame) -> DataFrame:
+        """Adds boolean ``_maybe_seen``; requires a ``fingerprint`` column."""
+        sidecar = self  # captured in closure; arrays ship with the task
+
+        def probe(batches):
+            for pdf in batches:
+                out = np.zeros(len(pdf), dtype=bool)
+                for b, grp in pdf.groupby("_bucket"):
+                    out[grp.index.to_numpy()] = sidecar._contains(
+                        int(b), grp["_h1"].to_numpy(), grp["_h2"].to_numpy()
+                    )
+                pdf = pdf.assign(_maybe_seen=out)
+                yield pdf
+
+        hashed = _hash_cols(df, self.n_buckets)
+        schema = ", ".join(f"{n} {t}" for n, t in hashed.dtypes) + ", _maybe_seen boolean"
+        # preload every bucket so the closure is self-contained on executors
+        for b in range(self.n_buckets):
+            self._load(b)
+        out = hashed.mapInPandas(probe, schema=schema)
+        return out.drop("_h1", "_h2", "_bucket")
+
+    def add_fingerprints(self, df: DataFrame) -> None:
+        """OR the new fingerprints' bits into the sidecar (driver-side at
+        sandbox scale; per-bucket executor writes at cluster scale)."""
+        pdf = _hash_cols(df.select("fingerprint"), self.n_buckets).select(
+            "_bucket", "_h1", "_h2"
+        ).toPandas()
+        for b, grp in pdf.groupby("_bucket"):
+            self._add(int(b), grp["_h1"].to_numpy(), grp["_h2"].to_numpy())
+
+
+def dedupe_within_round(candidates: DataFrame) -> DataFrame:
+    """First-discovered-wins within a round (deterministic: min
+    discovery_idx per fingerprint — SURVEY §2.3/§7)."""
+    w = Window.partitionBy("fingerprint").orderBy(F.col("discovery_idx").asc())
+    return (
+        candidates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def admit_new_candidates(
+    candidates: DataFrame,
+    seen: DataFrame | None,
+    bloom: BloomSidecar | None = None,
+) -> DataFrame:
+    """Within-round dedup, Bloom prefilter, exact anti-join vs seen.
+
+    Returns the admitted rows (same schema as candidates). Caller appends
+    their fingerprints to the seen table *in the same round commit*
+    (schedule-time semantics, scheduler.py:45-50)."""
+    fresh = dedupe_within_round(candidates)
+    if seen is None:
+        return fresh
+    if bloom is None:
+        return fresh.join(seen.select("fingerprint"), "fingerprint", "left_anti")
+    flagged = bloom.with_maybe_seen(fresh)
+    definite_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+    maybe = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+    checked = maybe.join(seen.select("fingerprint"), "fingerprint", "left_anti")
+    return definite_new.unionByName(checked)

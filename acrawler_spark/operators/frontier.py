@@ -1,0 +1,130 @@
+"""Frontier row construction: seeds and link candidates.
+
+The frontier table is the Spark equivalent of the reference's priority queue
+of Request tasks (scheduler.py:124-175); one row per pending fetch, schema
+per FIXTURES.md §2. Queue order is never stored — it is the composite sort
+key (priority DESC, exetime ASC, fingerprint ASC), the precision-safe
+equivalent of ``score = priority*1e10 - exetime`` (task.py:92-93).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from acrawler_spark.functions.url import canonicalize_col, fingerprint_col, host_col
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("url_canon", T.StringType(), False),
+        T.StructField("fingerprint", T.StringType(), False),
+        T.StructField("method", T.StringType(), False),
+        T.StructField("host", T.StringType(), True),
+        T.StructField("priority", T.IntegerType(), False),
+        T.StructField("exetime", T.DoubleType(), False),
+        T.StructField("tries", T.IntegerType(), False),
+        T.StructField("recrawl", T.LongType(), False),
+        T.StructField("depth", T.IntegerType(), False),
+        T.StructField("dont_filter", T.BooleanType(), False),
+        T.StructField("family", T.StringType(), True),
+        T.StructField("ancestor", T.StringType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("discovered_round", T.IntegerType(), False),
+        T.StructField("discovery_idx", T.LongType(), False),
+    ]
+)
+
+_FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA.fields]
+
+
+def _with_url_identity(df: DataFrame) -> DataFrame:
+    """Attach url_canon / fingerprint / host (all JVM expressions)."""
+    canon = canonicalize_col(F.col("url"))
+    return (
+        df.withColumn("url_canon", canon)
+        .withColumn("fingerprint", fingerprint_col(F.col("url_canon"), F.col("method")))
+        .withColumn("host", host_col(F.col("url")))
+    )
+
+
+def seeds_frontier(
+    spark: SparkSession,
+    seeds: list[str],
+    t0: float,
+    priority: int = 0,
+    recrawl: int = 0,
+    family: str = "Request",
+) -> DataFrame:
+    """Round-0 frontier from start_urls (reference crawler.py:295-302).
+
+    Seed exetime = init_time = t0 (task.py:73-79); ancestor = own
+    fingerprint (crawler.py:341-364: tasks without a parent group by their
+    own fp)."""
+    rows = [(u, i) for i, u in enumerate(seeds)]
+    df = spark.createDataFrame(rows, ["url", "seed_idx"]).withColumn("method", F.lit("GET"))
+    df = _with_url_identity(df)
+    df = (
+        df.withColumn("priority", F.lit(priority).cast("int"))
+        .withColumn("exetime", F.lit(float(t0)))
+        .withColumn("tries", F.lit(0))
+        .withColumn("recrawl", F.lit(recrawl).cast("long"))
+        .withColumn("depth", F.lit(0))
+        .withColumn("dont_filter", F.lit(False))
+        .withColumn("family", F.lit(family))
+        .withColumn("ancestor", F.col("fingerprint"))
+        .withColumn("meta", F.create_map().cast("map<string,string>"))
+        .withColumn("discovered_round", F.lit(-1))
+        .withColumn("discovery_idx", F.col("seed_idx").cast("long"))
+    )
+    return df.select(*_FRONTIER_COLS)
+
+
+def candidates_from_links(
+    parsed: DataFrame,
+    rnd: int,
+    now: float,
+    child_priority: int = 0,
+    max_depth: int | None = None,
+) -> DataFrame:
+    """Explode parsed pages' out-links into frontier candidate rows.
+
+    ``parsed`` needs: links array<string>, depth, ancestor, meta, rank
+    (the page's per-round schedule rank — discovery order comes from
+    (rank, link position), making within-round dedup deterministic,
+    SURVEY §7). Child priority defaults to 0 — a followed link is a fresh
+    ``Request(link)`` with default priority in the reference
+    (parser.py:97), not the parent's."""
+    c = (
+        parsed.select(
+            "depth",
+            "ancestor",
+            "meta",
+            "rank",
+            F.posexplode("links").alias("pos", "url"),
+        )
+        .withColumn("method", F.lit("GET"))
+        .withColumn("depth", F.col("depth") + 1)
+    )
+    if max_depth is not None:
+        c = c.filter(F.col("depth") <= max_depth)
+    c = _with_url_identity(c)
+    return c.select(
+        "url",
+        "url_canon",
+        "fingerprint",
+        "method",
+        "host",
+        F.lit(child_priority).cast("int").alias("priority"),
+        F.lit(float(now)).alias("exetime"),
+        F.lit(0).alias("tries"),
+        F.lit(0).cast("long").alias("recrawl"),
+        "depth",
+        F.lit(False).alias("dont_filter"),
+        F.lit("Request").alias("family"),
+        "ancestor",
+        "meta",
+        F.lit(rnd).alias("discovered_round"),
+        (F.col("rank").cast("long") * F.lit(1_000_000) + F.col("pos")).alias("discovery_idx"),
+    )

@@ -1,0 +1,125 @@
+"""Item extraction — the reference's ParselItem rule engine (item.py:229-337)
+compiled to JVM column expressions over the extracted page text.
+
+Reference semantics preserved:
+* a plain rule extracts the FIRST match (``.get()``); a rule wrapped in a
+  list extracts ALL matches (``.getall()``) — item.py:240-277;
+* missing fields take the declared default (item.py:258-266);
+* per-field processor chains run after extraction (item.py:339-360) —
+  here ``functions.processors`` transformers;
+* ``drop_item`` processors filter the whole row (SkipTaskImmediatelyError,
+  item.py:85-87);
+* ``css_divider`` splits a page into fragments, one item per fragment
+  (http.py:437-449, parser.py:31-38) — posexplode of the fragment array.
+
+CSS selectors: parsel/lxml are not in this sandbox, so the two selector
+shapes the fixtures use — ``tag.class::text`` and ``tag::attr(name)`` — are
+compiled to equivalent regexes (documented contract: well-formed,
+non-nested target tags, which CommonCrawl-style extraction pipelines
+normalize to upstream anyway). Arbitrary CSS would drop to a pandas UDF
+with an HTML parser; the rule API is parser-agnostic.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from acrawler_spark.functions.processors import chain as proc_chain
+from acrawler_spark.functions.processors import truthy
+
+
+def _css_to_regex(selector: str) -> tuple[str, int]:
+    """Compile the supported selector subset to (java_regex, group)."""
+    m = re.fullmatch(r"(\w+)(?:\.([\w-]+))?::text", selector)
+    if m:
+        tag, cls = m.group(1), m.group(2)
+        if cls:
+            return (
+                rf'<{tag}\b[^>]*class="[^"]*{re.escape(cls)}[^"]*"[^>]*>(.*?)</{tag}>',
+                1,
+            )
+        return rf"<{tag}\b[^>]*>(.*?)</{tag}>", 1
+    m = re.fullmatch(r"(\w+)(?:\.([\w-]+))?::attr\(([\w-]+)\)", selector)
+    if m:
+        tag, cls, attr = m.group(1), m.group(2), m.group(3)
+        cls_part = rf'[^>]*class="[^"]*{re.escape(cls)}[^"]*"' if cls else ""
+        return rf'<{tag}\b{cls_part}[^>]*{attr}=["\'](.*?)["\']', 1
+    raise ValueError(f"unsupported selector: {selector!r}")
+
+
+@dataclass
+class FieldRule:
+    """One field of an item family.
+
+    rule: a css selector (``span.price::text``), or ``re:<pattern>`` for a
+    raw-regex rule (reference Rule dicts, item.py:240-277).
+    getall: list-rule semantics (``[rule]`` in the reference).
+    processors: chain of functions.processors specs.
+    default: value when extraction yields nothing (item.py:258-266).
+    drop_item_if_falsy: SkipTaskImmediatelyError semantics (item.py:85-87).
+    """
+
+    rule: str
+    getall: bool = False
+    processors: list = dc_field(default_factory=list)
+    default: object = None
+    drop_item_if_falsy: bool = False
+
+    def compile(self, text: Column) -> Column:
+        if self.rule.startswith("re:"):
+            regex, group = self.rule[3:], 1
+        else:
+            regex, group = _css_to_regex(self.rule)
+        if self.getall:
+            col = F.regexp_extract_all(text, F.lit(regex), F.lit(group))
+            col = F.when(F.size(col) > 0, col)  # [] -> NULL (no match)
+        else:
+            col = F.when(text.rlike(regex), F.regexp_extract(text, regex, group))
+        if self.processors:
+            col = proc_chain(*self.processors)(col)
+        if self.default is not None:
+            col = F.coalesce(col, F.lit(self.default))
+        return col
+
+
+@dataclass
+class ItemSpec:
+    """An item family: ParselItem subclass equivalent (item.py:200-227)."""
+
+    family: str
+    fields: dict[str, FieldRule]
+    css_divider: str | None = None  # fragment selector (parser.py:31-38)
+
+    def extract(self, pages: DataFrame, text_col: str = "extracted_text") -> DataFrame:
+        """pages: (url, <text_col>, round, ...) -> one row per item with the
+        family's fields as typed columns + a stringified content map."""
+        df = pages
+        src = F.col(text_col)
+        if self.css_divider:
+            regex, group = _css_to_regex(self.css_divider)
+            frags = F.regexp_extract_all(src, F.lit(regex), F.lit(group))
+            df = df.withColumn("_frag", F.explode(frags))
+            src = F.col("_frag")
+
+        out_cols = []
+        for name, rule in self.fields.items():
+            out_cols.append(rule.compile(src).alias(name))
+        result = df.select(
+            "url",
+            F.lit(self.family).alias("family"),
+            *(["round"] if "round" in df.columns else []),
+            *out_cols,
+        )
+        for name, rule in self.fields.items():
+            if rule.drop_item_if_falsy:
+                result = result.filter(truthy(F.col(name)))
+        field_names = list(self.fields)
+        content = F.map_from_arrays(
+            F.array(*[F.lit(n) for n in field_names]),
+            F.array(*[F.col(n).cast("string") for n in field_names]),
+        )
+        return result.withColumn("content", content)

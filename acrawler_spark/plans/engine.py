@@ -1,0 +1,332 @@
+"""The batch-iterative crawl engine: driver round loop over DataFrame plans.
+
+One round == one pass of the reference worker loop over every currently-due
+task (crawler.py:61-136), quantized to a logical clock:
+
+    read frontier -> filter(exetime <= now)                 [eligibility]
+    -> per-host budget Window (salted)                      [politeness]
+    -> global round cap (TakeOrderedAndProject)             [MAX_REQUESTS]
+    -> left join corpus on url_canon                        [fetch]
+    -> Arrow UDF: decode + absolutize + links               [parse]
+    -> explode links -> canonicalize+fingerprint (JVM)      [follow]
+    -> within-round dedup + Bloom + anti-join seen          [dupefilter]
+    -> retry / recrawl branches                             [lifecycle]
+    -> commit frontier' / seen+ / items+ / fetch_log+ /
+       metrics+ / lineage+ as one snapshot                  [persistence]
+
+Determinism contract (tests/oracle.py mirrors it 1:1): logical clock
+now = t0 + round; total order (priority DESC, exetime ASC, fingerprint ASC);
+within-round discovery order (parent rank, link position).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from acrawler_spark.functions.udfs import make_parse_page_udf
+from acrawler_spark.operators.dedup import BloomSidecar, admit_new_candidates
+from acrawler_spark.operators.frontier import (
+    FRONTIER_SCHEMA,
+    candidates_from_links,
+    seeds_frontier,
+)
+from acrawler_spark.operators.politeness import apply_host_budgets, rank_keys
+from acrawler_spark.sources.store import CheckpointStore
+
+
+
+
+@dataclass
+class CrawlConfig:
+    """Mirrors the reference's setting.py knobs (defaults setting.py:23-53)."""
+
+    seeds: list[str] = field(default_factory=list)
+    follow_patterns: list[str] = field(default_factory=list)  # empty => no following (parser.py:86)
+    max_tries: int = 3  # MAX_TRIES (setting.py:43-44); retry while tries <= max_tries (crawler.py:100)
+    max_requests_per_host: int = 0  # 0 = unlimited (counter.py:21-23)
+    special_host_budgets: dict[str, int] = field(default_factory=dict)  # substring-matched (counter.py:79)
+    download_delay: float = 0.0  # converted to per-round budget: floor(round_seconds/delay)
+    round_seconds: float = 1.0  # logical wall-time per round
+    round_cap: int | None = None  # global per-round fetch cap (MAX_REQUESTS quantized)
+    status_allowed: list[int] | None = None  # None => only 200 ok; [] => all ok (http.py:270-281)
+    links_to_abs: bool = True
+    child_priority: int = 0
+    seed_priority: int = 0
+    seed_recrawl: int = 0  # task.recrawl for seeds (crawler.py:122-126)
+    max_depth: int | None = None
+    max_rounds: int = 1000
+    t0: float = 1767225600.0  # logical epoch base (FIXTURES.md)
+    use_bloom: bool = True
+    bloom_buckets: int = 16
+    bloom_bits: int = 1 << 20
+    salt_n: int = 4
+    record_rank: bool = True  # per-round global rank in fetch_log (order-parity tests)
+
+    def effective_host_budget(self) -> int:
+        """Fold DOWNLOAD_DELAY into the per-host round budget: with delay d,
+        a host serves at most floor(round_seconds/d) fetches per round
+        (counter.py:97-107, jitter disabled for determinism)."""
+        budget = self.max_requests_per_host
+        if self.download_delay > 0:
+            delay_budget = max(1, int(self.round_seconds / self.download_delay))
+            budget = delay_budget if budget <= 0 else min(budget, delay_budget)
+        return budget
+
+
+class CrawlEngine:
+    def __init__(self, spark: SparkSession, cfg: CrawlConfig, store: CheckpointStore):
+        self.spark = spark
+        self.cfg = cfg
+        self.store = store
+        self.bloom = (
+            BloomSidecar(store.root + "/seen/_bloom", cfg.bloom_buckets, cfg.bloom_bits)
+            if cfg.use_bloom
+            else None
+        )
+        self._parse_udf = make_parse_page_udf(cfg.links_to_abs, cfg.follow_patterns)
+
+    # -- bootstrap ------------------------------------------------------------
+
+    def bootstrap(self) -> None:
+        """Round -0 commit: seed frontier + seed fingerprints into seen
+        (admission == schedule-time seen append, scheduler.py:45-50)."""
+        cfg = self.cfg
+        seeds = seeds_frontier(
+            self.spark, cfg.seeds, cfg.t0, cfg.seed_priority, cfg.seed_recrawl
+        )
+        from acrawler_spark.operators.dedup import dedupe_within_round
+
+        seeds = dedupe_within_round(seeds)
+        self.store.write_frontier(0, seeds)
+        seen0 = self.store.read_frontier(0).select(
+            "fingerprint", F.lit(0).alias("added_round")
+        )
+        self.store.write_delta("seen", 0, seen0)
+        if self.bloom is not None:
+            self.bloom.add_fingerprints(seen0)
+            self.bloom.save()
+        self.store.commit_round(0, {"phase": "bootstrap", "seeds": len(cfg.seeds)})
+
+    # -- one round ------------------------------------------------------------
+
+    def run_round(self, rnd: int, corpus: DataFrame) -> dict:
+        cfg = self.cfg
+        now = cfg.t0 + rnd * cfg.round_seconds
+        wall_start = time.monotonic()
+
+        frontier = self.store.read_frontier()
+        seen = self.store.read_appended("seen")
+
+        eligible = frontier.filter(F.col("exetime") <= F.lit(now))
+        ineligible = frontier.filter(F.col("exetime") > F.lit(now))
+
+        selected, deferred = apply_host_budgets(
+            eligible,
+            uniform=cfg.effective_host_budget(),
+            special=cfg.special_host_budgets,
+            salt_n=cfg.salt_n,
+        )
+        if cfg.round_cap is not None:
+            capped = selected.orderBy(*rank_keys()).limit(cfg.round_cap)
+            over_cap = selected.join(capped.select("fingerprint"), "fingerprint", "left_anti")
+            deferred = deferred.unionByName(over_cap.select(*selected.columns))
+            selected = capped
+
+        # schedule rank: the order the reference's workers would pop these
+        # tasks (score order). Bounded by host budgets + round cap, so the
+        # single-partition window is over a small, capped set; disable via
+        # record_rank=False for unbounded bench rounds.
+        if cfg.record_rank:
+            from pyspark.sql import Window
+
+            selected = selected.withColumn(
+                "rank", F.row_number().over(Window.orderBy(*rank_keys()))
+            )
+        else:
+            selected = selected.withColumn(
+                "rank", F.monotonically_increasing_id().cast("long")
+            )
+        selected = selected.persist()
+
+        # fetch = left join corpus on the canonical url (SURVEY §2.1)
+        fetched = selected.join(
+            corpus.withColumnRenamed("url", "c_url"),
+            selected.url_canon == F.col("c_url"),
+            "left",
+        ).withColumn(
+            "status", F.when(F.col("c_url").isNotNull(), F.lit(200)).otherwise(F.lit(404))
+        )
+        if cfg.status_allowed is None:
+            ok_col = F.col("status") == 200
+        elif cfg.status_allowed == []:
+            ok_col = F.lit(True)
+        else:
+            ok_col = (F.col("status") == 200) | F.col("status").isin(cfg.status_allowed)
+        fetched = fetched.withColumn("ok", ok_col & F.col("c_url").isNotNull())
+        fetched = fetched.withColumn("tries_done", F.col("tries") + 1).persist()
+
+        ok_rows = fetched.filter(F.col("ok"))
+        parsed = ok_rows.withColumn(
+            "parsed", self._parse_udf(F.col("html"), F.col("encoding"), F.col("url_canon"))
+        ).persist()
+
+        items = parsed.select(
+            F.col("url_canon").alias("url"),
+            F.col("family"),
+            F.col("parsed.text").alias("extracted_text"),
+            F.col("lang"),
+            F.col("depth"),
+            F.lit(rnd).alias("round"),
+        )
+
+        fetch_log = fetched.select(
+            "url",
+            "url_canon",
+            "fingerprint",
+            F.lit(rnd).alias("round"),
+            "rank",
+            "status",
+            "ok",
+            F.col("tries_done").alias("tries"),
+            "host",
+            F.coalesce(F.length("html"), F.lit(0)).cast("long").alias("bytes"),
+            F.when(~F.col("ok"), F.concat(F.lit("<"), F.col("status"), F.lit(">"))).alias("error"),
+        )
+
+        # follow links (only when configured — parser.py:86)
+        if cfg.follow_patterns:
+            link_src = parsed.select(
+                "depth", "ancestor", "meta", "rank", F.col("parsed.links").alias("links")
+            )
+            candidates = candidates_from_links(
+                link_src, rnd, now, cfg.child_priority, cfg.max_depth
+            )
+            admitted = admit_new_candidates(candidates, seen, self.bloom).persist()
+        else:
+            admitted = self.spark.createDataFrame([], FRONTIER_SCHEMA).persist()
+
+        # retry branch (crawler.py:98-114): failed & tries_done <= max_tries
+        retries = (
+            fetched.filter(~F.col("ok") & (F.col("tries_done") <= cfg.max_tries))
+            .select(*frontier.columns)
+            .withColumn("tries", F.col("tries") + 1)
+            .withColumn("exetime", F.lit(now))
+            .withColumn("dont_filter", F.lit(True))
+        )
+        failed = (
+            fetched.filter(~F.col("ok") & (F.col("tries_done") > cfg.max_tries))
+            .select(
+                "url", "url_canon", "fingerprint", "host",
+                F.col("tries_done").alias("tries"), "status",
+                F.lit(rnd).alias("round"),
+            )
+        )
+        # recrawl branch (crawler.py:122-126): success & recrawl>0 re-enqueues
+        # with tries=0, exetime=last_crawl+recrawl, dont_filter
+        recrawls = (
+            fetched.filter(F.col("ok") & (F.col("recrawl") > 0))
+            .select(*frontier.columns)
+            .withColumn("tries", F.lit(0))
+            .withColumn("exetime", F.lit(now) + F.col("recrawl").cast("double"))
+            .withColumn("dont_filter", F.lit(True))
+        )
+
+        new_frontier = (
+            ineligible.select(*frontier.columns)
+            .unionByName(deferred.select(*frontier.columns))
+            .unionByName(retries.select(*frontier.columns))
+            .unionByName(recrawls.select(*frontier.columns))
+            .unionByName(admitted.select(*frontier.columns))
+        )
+
+        # metrics (counter.py:148-154 per-family [fail, success] + gauges)
+        n_selected = selected.count()
+        n_ok = ok_rows.count()
+        n_failed_final = failed.count()
+        n_retries = n_selected - n_ok - n_failed_final
+        n_admitted = admitted.count()
+        n_deferred = deferred.count()
+
+        metrics = self.spark.createDataFrame(
+            [
+                (
+                    rnd, "Request", None, n_ok, n_failed_final, n_retries,
+                    n_deferred, n_admitted, n_selected,
+                    int((time.monotonic() - wall_start) * 1000),
+                )
+            ],
+            "round int, family string, host string, success long, fail long, "
+            "retried long, rescheduled long, admitted long, selected long, wall_ms long",
+        )
+        # per-partition fetch lineage (north rule: per-partition lineage)
+        lineage = (
+            fetch_log.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.col("ok").cast("long")).alias("n_ok"),
+                F.sum("bytes").alias("bytes"),
+            )
+            .withColumn("round", F.lit(rnd))
+        )
+
+        # -- commit (staged writes, then atomic manifest bump) ----------------
+        self.store.write_frontier(rnd, new_frontier)
+        self.store.write_delta("items", rnd, items)
+        self.store.write_delta("fetch_log", rnd, fetch_log)
+        self.store.write_delta("failed", rnd, failed)
+        self.store.write_delta("metrics", rnd, metrics)
+        self.store.write_delta("lineage", rnd, lineage)
+        if n_admitted > 0:
+            new_seen = admitted.select("fingerprint", F.lit(rnd).alias("added_round"))
+            self.store.write_delta("seen", rnd, new_seen)
+            if self.bloom is not None:
+                self.bloom.add_fingerprints(new_seen)
+                self.bloom.save()
+        self.store.commit_round(
+            rnd,
+            {"selected": n_selected, "ok": n_ok, "admitted": n_admitted,
+             "deferred": n_deferred, "retried": n_retries, "failed": n_failed_final},
+        )
+
+        for df in (selected, fetched, parsed, admitted):
+            df.unpersist()
+        return {
+            "round": rnd, "selected": n_selected, "ok": n_ok,
+            "admitted": n_admitted, "deferred": n_deferred,
+            "retried": n_retries, "failed": n_failed_final,
+        }
+
+    # -- loop ------------------------------------------------------------------
+
+    def run(self, corpus: DataFrame, max_rounds: int | None = None) -> list[dict]:
+        """Run rounds until the frontier has no due rows (counter.join()
+        termination analog, crawler.py:706-724) or max_rounds. Resumes from
+        the last committed round automatically."""
+        cfg = self.cfg
+        max_rounds = max_rounds or cfg.max_rounds
+        if self.store.last_round < 0:
+            self.bootstrap()
+        else:
+            # crash replay: drop any files staged by an uncommitted round
+            self.store.abort_uncommitted(self.store.last_round + 1)
+        history = []
+        rnd = self.store.last_round + 1
+        while rnd <= max_rounds:
+            now = cfg.t0 + rnd * cfg.round_seconds
+            frontier = self.store.read_frontier()
+            agg = frontier.agg(
+                F.count("*").alias("n"),
+                F.sum((F.col("exetime") <= F.lit(now)).cast("long")).alias("due"),
+            ).first()
+            if agg["n"] == 0:
+                break  # crawl finished (counter.join() == 0, crawler.py:706-724)
+            if (agg["due"] or 0) == 0:
+                rnd += 1  # idle tick: nothing due yet (recrawl/defer in future)
+                continue
+            history.append(self.run_round(rnd, corpus))
+            rnd += 1
+        return history

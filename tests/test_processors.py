@@ -1,0 +1,80 @@
+"""Processors parity table (FIXTURES §7: one row per reference processor,
+input -> expected output pairs from processors.py:26-285 semantics)."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from acrawler_spark.functions import processors as P
+
+
+def _apply(spark, transformer, values, in_type="string"):
+    df = spark.createDataFrame([(v,) for v in values], f"v {in_type}")
+    return [r.out for r in df.select(transformer(F.col("v")).alias("out")).collect()]
+
+
+def test_to_int(spark):
+    t = P.to_int()
+    assert _apply(spark, t, ["12 reviews", "about 7 things", "none", None]) == [12, 7, None, None]
+
+
+def test_to_float(spark):
+    t = P.to_float()
+    assert _apply(spark, t, ["$ 3.5k", "1.25", "x", None]) == [3.5, 1.25, None, None]
+
+
+def test_to_date(spark):
+    t = P.to_date()
+    out = _apply(spark, t, ["published 2019-11-18", "2020/1/2 extra", "nope"])
+    assert out == [datetime.date(2019, 11, 18), datetime.date(2020, 1, 2), None]
+
+
+def test_to_datetime_with_time(spark):
+    t = P.to_datetime(with_time=True)
+    out = _apply(spark, t, ["at 2019-11-18 13:05:09 tz", "nope"])
+    assert out == [datetime.datetime(2019, 11, 18, 13, 5, 9), None]
+
+
+def test_re(spark):
+    t = P.re_(r"(\d+)-(\d+)", 2)
+    assert _apply(spark, t, ["a 12-34 b", "zz"]) == ["34", None]
+
+
+def test_re_groups(spark):
+    t = P.re_groups(r"(\d+)-(\d+)", 2)
+    assert _apply(spark, t, ["a 12-34 b", "zz"]) == [["12", "34"], None]
+
+
+def test_strip_and_first(spark):
+    assert _apply(spark, P.strip(), ["  x ", None]) == ["x", None]
+    df = [( ["a", "b"],), ([],)]
+    vals = _apply(spark, P.first(), [["a", "b"], []], in_type="array<string>")
+    assert vals == ["a", None]
+    assert _apply(spark, P.strip_list(), [[" a ", "b "]], "array<string>") == [["a", "b"]]
+
+
+def test_map_filter(spark):
+    t = P.map_(lambda c: F.upper(c))
+    assert _apply(spark, t, [["a", "b"]], "array<string>") == [["A", "B"]]
+    assert _apply(spark, P.filter_(), [["a", "", "b"]], "array<string>") == [["a", "b"]]
+
+
+def test_default_and_drop(spark):
+    assert _apply(spark, P.default("dflt"), ["", None, "x"]) == ["dflt", "dflt", "x"]
+    assert _apply(spark, P.drop(), ["", "x"]) == [None, "x"]
+
+
+def test_replace(spark):
+    assert _apply(spark, P.replace("a", "o"), ["banana"]) == ["bonono"]
+
+
+def test_try_chain(spark):
+    t = P.try_(P.to_int(), P.default(-1))
+    assert _apply(spark, t, ["7 up", "xx"]) == [7, -1]
+
+
+def test_string_ref_registry(spark):
+    t = P.chain("strip", "to_int")
+    assert _apply(spark, t, ["  33 units "]) == [33]
+    t2 = P.compile_spec("re:(\\d+)")
+    assert _apply(spark, t2, ["n=42"]) == ["42"]
