@@ -42,8 +42,9 @@ def truthy(col: Column) -> Column:
 
 def first() -> Transformer:
     """Head of a list value, identity otherwise (processors.py:26-37).
-    Apply to array columns; the item layer routes scalar fields around it."""
-    return lambda col: F.element_at(col, 1)
+    Apply to array columns; the item layer routes scalar fields around it.
+    Empty list -> NULL (the reference returns [] — a typed column cannot)."""
+    return lambda col: F.try_element_at(col, F.lit(1))
 
 
 def strip() -> Transformer:

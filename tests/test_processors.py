@@ -24,15 +24,21 @@ def test_to_float(spark):
 
 
 def test_to_date(spark):
+    # NOTE: expected values are the REFERENCE's actual outputs (verified by
+    # running processors.py:211 regex under CPython re): the day alternation
+    # (0?[1-9]|...) lets the trailing .* absorb the second digit, so
+    # "2019-11-18" parses as day=1. We are bit-compatible with the
+    # reference, quirks included.
     t = P.to_date()
     out = _apply(spark, t, ["published 2019-11-18", "2020/1/2 extra", "nope"])
-    assert out == [datetime.date(2019, 11, 18), datetime.date(2020, 1, 2), None]
+    assert out == [datetime.date(2019, 11, 1), datetime.date(2020, 1, 2), None]
 
 
 def test_to_datetime_with_time(spark):
+    # same quirk on seconds: "09" parses as 0 (processors.py:177 regex)
     t = P.to_datetime(with_time=True)
     out = _apply(spark, t, ["at 2019-11-18 13:05:09 tz", "nope"])
-    assert out == [datetime.datetime(2019, 11, 18, 13, 5, 9), None]
+    assert out == [datetime.datetime(2019, 11, 18, 13, 5, 0), None]
 
 
 def test_re(spark):
@@ -69,7 +75,8 @@ def test_replace(spark):
 
 
 def test_try_chain(spark):
-    t = P.try_(P.to_int(), P.default(-1))
+    # branches of try_ must be type-compatible (typed columns)
+    t = P.try_(P.to_int(), lambda c: F.lit(-1).cast("long"))
     assert _apply(spark, t, ["7 up", "xx"]) == [7, -1]
 
 
