@@ -36,6 +36,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # reference meta-merge semantics: child wins on key clash
+        # (crawler.py:77 {**task.meta, **new_task.meta}) — map_concat must
+        # last-win instead of throwing
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         # Arrow for all pandas-UDF boundaries (input_hint: no per-row Python).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -1,0 +1,482 @@
+"""Large-scale training-data operators over the documents/embeddings tables:
+dedup families (exact, n-gram Jaccard, MinHash+LSH, SimHash), similarity
+search (brute-force cosine top-k + LSH bucketing), and text analysis
+(language-ID heuristic, quality scoring, token counting, fingerprinting).
+
+These extend the crawl engine with the pipeline stages a 100 TB corpus
+needs after crawling. All hot paths are JVM built-ins (regexp, lambda HOFs,
+window lead); the cross-engine hash contract is
+``conv(substr(md5(x),1,8),16,10)`` == DuckDB ``('0x'||substr(md5(x),1,8))::BIGINT``.
+
+Scale notes per operator are inline; the pairwise stages (Jaccard, LSH
+candidate pairs) are bucketed so no O(n^2) blowup happens — pairs only form
+within a shared shingle/band bucket, the standard LSH join shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _h32(col):
+    """Shared 64-bit-safe 32-bit hash (md5-derived, portable to DuckDB)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+_H32_SQL = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy, first-wins (the documents analog of the URL
+# seen-set's first-discovered-wins rule)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    key = F.md5(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8)))
+    return (
+        docs.select(key.alias("key"), "doc_id")
+        .groupBy("key")
+        .agg(F.min("doc_id").alias("keep_doc"), F.count("*").alias("n_copies"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS key,
+       min(doc_id) AS keep_doc,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Word-3-gram shingles (shared by Jaccard + MinHash).
+# Built with Window lead() so the construction is identical in both engines.
+# ---------------------------------------------------------------------------
+
+def _shingles(docs: DataFrame, max_doc: int) -> DataFrame:
+    d = docs.filter(F.col("doc_id") < max_doc).select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = d.select(
+        "doc_id",
+        F.concat_ws(" ", "w", F.lead("w", 1).over(w), F.lead("w", 2).over(w)).alias("shingle"),
+        F.lead("w", 2).over(w).alias("_ok"),
+    ).filter(F.col("_ok").isNotNull())
+    return sh.select("doc_id", "shingle").distinct()
+
+
+_SHINGLES_SQL = """
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) || ' ' ||
+                       lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle,
+           lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS _ok
+    FROM (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS w,
+             unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+      FROM documents WHERE doc_id < {max_doc}
+    )
+  ) WHERE _ok IS NOT NULL
+"""
+
+
+# n-gram Jaccard near-dup: pairs form only via shared shingles (bucketed
+# join — never O(n^2)); at 100 TB the shingle join shuffles on shingle hash
+# with AQE skew splitting.
+
+def q_dedup_ngram_jaccard(spark, sf_dir, max_doc: int = 200, threshold: float = 0.1):
+    docs = _t(spark, sf_dir, "documents")
+    sh = _shingles(docs, max_doc)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("overlap"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    j = (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("overlap") / (F.col("na") + F.col("nb") - F.col("overlap")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return j.select("doc_a", "doc_b", "overlap", "jaccard")
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH sh AS ({_SHINGLES_SQL.format(max_doc=200)}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS overlap
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, overlap,
+       round(overlap / (sa.n_sh + sb.n_sh - overlap), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(overlap / (sa.n_sh + sb.n_sh - overlap), 6) >= 0.1
+"""
+
+
+# MinHash signatures + LSH band buckets (k=6 hashes, 3 bands of 2):
+# signature = min over shingles of (a_i*h + b_i) mod p.
+
+_MINHASH_PARAMS = [(2, 1), (3, 7), (5, 11), (7, 17), (11, 19), (13, 23)]
+_MH_P = 1_000_000_007
+
+
+def q_dedup_minhash(spark, sf_dir, max_doc: int = 300):
+    docs = _t(spark, sf_dir, "documents")
+    sh = _shingles(docs, max_doc).withColumn("h", _h32(F.col("shingle")))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MH_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_MINHASH_PARAMS)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    bands = sig.select(
+        "doc_id",
+        *[F.col(f"mh{i}") for i in range(6)],
+        F.md5(F.concat_ws("_", "mh0", "mh1")).alias("band0"),
+        F.md5(F.concat_ws("_", "mh2", "mh3")).alias("band1"),
+        F.md5(F.concat_ws("_", "mh4", "mh5")).alias("band2"),
+    )
+    return bands
+
+
+SQL_DEDUP_MINHASH = f"""
+WITH sh AS ({_SHINGLES_SQL.format(max_doc=300)}),
+h AS (SELECT doc_id, {_H32_SQL.format(x='shingle')} AS h FROM sh),
+sig AS (
+  SELECT doc_id,
+         min((2*h + 1) % 1000000007) AS mh0,
+         min((3*h + 7) % 1000000007) AS mh1,
+         min((5*h + 11) % 1000000007) AS mh2,
+         min((7*h + 17) % 1000000007) AS mh3,
+         min((11*h + 19) % 1000000007) AS mh4,
+         min((13*h + 23) % 1000000007) AS mh5
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5,
+       md5(mh0::VARCHAR || '_' || mh1::VARCHAR) AS band0,
+       md5(mh2::VARCHAR || '_' || mh3::VARCHAR) AS band1,
+       md5(mh4::VARCHAR || '_' || mh5::VARCHAR) AS band2
+FROM sig
+"""
+
+
+# SimHash (16-bit): per token-hash bit, sum +1/-1; bit set where sum > 0.
+
+def q_dedup_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("w")
+    ).withColumn("h", _h32(F.col("w")))
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(16)
+        ]
+    )
+    sim = None
+    for j in range(16):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bit_sums.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(16)
+    )
+    recombine = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+  FROM documents
+),
+h AS (SELECT doc_id, {_H32_SQL.format(x='w')} AS h FROM tok),
+bits AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, ({recombine})::BIGINT AS simhash FROM bits
+"""
+
+
+SQL_DEDUP_SIMHASH = _simhash_sql()
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k: queries broadcast against candidates; dot/norm
+# via zip_with + aggregate (JVM). Results rounded to 4 decimals so cross-
+# engine float summation order cannot flip a digit; ties broken by vec_id.
+
+def q_embedding_topk(spark, sf_dir, n_queries: int = 5, k: int = 3):
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q")
+    )
+    cs = emb.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c")
+    )
+    pair = cs.crossJoin(F.broadcast(qs))
+    dot = F.aggregate(
+        F.zip_with("q", "c", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(col, lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = pair.select(
+        "q_id", "c_id", F.round(dot / (norm(F.col("q")) * norm(F.col("c"))), 4).alias("cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cosine", "rank")
+    )
+
+
+SQL_EMBEDDING_TOPK = """
+WITH flat AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM flat GROUP BY vec_id),
+dots AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, sum(q.v * c.v) AS dot
+  FROM flat q JOIN flat c ON q.i = c.i
+  WHERE q.vec_id < 5 AND c.vec_id >= 5
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT q_id, c_id,
+         round(dot / (nq.nrm * nc.nrm), 4) AS cosine
+  FROM dots
+  JOIN norms nq ON nq.vec_id = q_id
+  JOIN norms nc ON nc.vec_id = c_id
+)
+SELECT q_id, c_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+# LSH bucket assignment (the scale path for ANN): 4 deterministic
+# hyperplanes; weight(dim i, plane j) = ((i*31 + j*17) % 7) - 3.
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("i0", "v")
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), F.col("v").cast("double").alias("v"))
+    planes = spark.range(4).select(F.col("id").cast("int").alias("j"))
+    dots = (
+        flat.crossJoin(F.broadcast(planes))
+        .withColumn("w", ((F.col("i") * 31 + F.col("j") * 17) % 7 - 3).cast("double"))
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("v") * F.col("w")).alias("dot"))
+    )
+    bits = dots.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("dot") > 0, F.expr("shiftleft(1, j)")).otherwise(F.lit(0))
+        ).cast("long").alias("bucket")
+    )
+    sizes = bits.groupBy("bucket").agg(F.count("*").alias("bucket_size"))
+    return bits.join(sizes, "bucket").select("vec_id", "bucket", "bucket_size")
+
+
+SQL_ANN_LSH_BUCKETS = """
+WITH flat AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+),
+dots AS (
+  SELECT vec_id, j, sum(v * (((i*31 + j*17) % 7) - 3)) AS dot
+  FROM flat, (SELECT unnest(range(0, 4)) AS j)
+  GROUP BY 1, 2
+),
+bits AS (
+  SELECT vec_id,
+         sum(CASE WHEN dot > 0 THEN 1 << j ELSE 0 END)::BIGINT AS bucket
+  FROM dots GROUP BY vec_id
+)
+SELECT vec_id, bucket, bucket_size
+FROM bits JOIN (SELECT bucket AS b2, count(*) AS bucket_size FROM bits GROUP BY 1) s
+  ON bits.bucket = s.b2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ["the", "a", "of", "to", "and", "in", "is"]
+
+
+def q_text_langid(spark, sf_dir):
+    """n-gram/stopword-ratio language heuristic: en if stopword ratio high,
+    else declared-script fallback 'other' (formula parity both engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    stops = F.filter(words, lambda w: w.isin(*_STOPWORDS))
+    ratio = F.round(F.size(stops) / F.size(words), 6)
+    return docs.select(
+        "doc_id",
+        "lang",
+        ratio.alias("stop_ratio"),
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("other")).alias("lang_guess"),
+    )
+
+
+SQL_TEXT_LANGID = """
+WITH d AS (
+  SELECT doc_id, lang,
+         round(len(list_filter(string_split(text, ' '),
+                               w -> w IN ('the','a','of','to','and','in','is')))
+               / len(string_split(text, ' ')), 6) AS stop_ratio
+  FROM documents
+)
+SELECT doc_id, lang, stop_ratio,
+       CASE WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'other' END AS lang_guess
+FROM d
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: length/word-length/stopword features + keep flag."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    n_chars = F.length("text")
+    stop_ratio = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS))) / n_words
+    mean_wlen = (n_chars - (n_words - 1)) / n_words  # spaces removed
+    score = F.round(
+        F.least(F.lit(1.0), n_words / F.lit(50.0)) * 0.5
+        + F.least(F.lit(1.0), stop_ratio * 10) * 0.3
+        + F.when((mean_wlen >= 3) & (mean_wlen <= 10), 0.2).otherwise(0.0),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_m"),
+        n_words.alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        score.alias("quality"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
+SQL_TEXT_QUALITY = """
+WITH d AS (
+  SELECT doc_id,
+         length(text) AS n_chars_m,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_filter(string_split(text, ' '),
+                         w -> w IN ('the','a','of','to','and','in','is'))) AS n_stop
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_chars_m, n_words,
+         (n_chars_m - (n_words - 1)) / n_words AS mean_wlen,
+         n_stop / n_words AS stop_ratio
+  FROM d
+)
+SELECT doc_id, n_chars_m, n_words,
+       round(mean_wlen, 6) AS mean_word_len,
+       round(least(1.0, n_words / 50.0) * 0.5
+             + least(1.0, stop_ratio * 10) * 0.3
+             + CASE WHEN mean_wlen >= 3 AND mean_wlen <= 10 THEN 0.2 ELSE 0.0 END,
+             6) AS quality,
+       (round(least(1.0, n_words / 50.0) * 0.5
+             + least(1.0, stop_ratio * 10) * 0.3
+             + CASE WHEN mean_wlen >= 3 AND mean_wlen <= 10 THEN 0.2 ELSE 0.0 END,
+             6) >= 0.5) AS keep
+FROM m
+"""
+
+
+def q_token_count(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counts."""
+    docs = _t(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 of whitespace-normalized text + 32-bit int
+    form (the content-hash analog of the URL fingerprint, http.py:138-145)."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp_hex"),
+        _h32(norm).alias("fp_int"),
+    )
+
+
+SQL_DOC_FINGERPRINT = r"""
+WITH n AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+  FROM documents
+)
+SELECT doc_id, md5(norm) AS fp_hex,
+       ('0x' || substr(md5(norm), 1, 8))::BIGINT AS fp_int
+FROM n
+"""
+
+
+REGISTRY: dict[str, tuple] = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
+    "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
+    "text_langid": (q_text_langid, SQL_TEXT_LANGID),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+}

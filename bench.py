@@ -1,0 +1,151 @@
+"""Bench harness: crawl throughput + headline query timings + scaling.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total seconds>, "unit": "sec",
+   "queries": {<name>: sec, ...}, "sf": ...,
+   "urls_per_sec": ..., "scaling": {"low_cpus":..., "high_cpus":...,
+   "low_urls_per_sec":..., "high_urls_per_sec":..., "efficiency":...}}
+
+The headline metric is the north rule's: URLs fetched+extracted/sec on the
+batch-iterative frontier engine (dedup + politeness + fetch-join + Arrow
+extraction + checkpoint commits all included). Scaling efficiency is
+evidenced by running the same crawl at two parallelism levels
+(local[N] vs local[4N]) — the sandbox stand-in for N vs 4N executors.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_SKIP_SCALING=1 to skip the second run.
+
+Internal mode: ``python bench.py --crawl-only <cpus>`` prints a small JSON
+for one crawl run (used by the scaling comparison as a subprocess so each
+parallelism level gets a fresh JVM).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE_QUERIES = [
+    "frontier_rank",
+    "host_budget",
+    "seen_antijoin",
+    "link_explode",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "embedding_topk",
+    "ann_lsh_buckets",
+    "text_quality",
+    "token_count",
+]
+
+
+def _spark(cpus: int):
+    from acrawler_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"bench_{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+
+
+def run_crawl(spark, sf_dir: str) -> dict:
+    """The headline workload: crawl a documents-derived corpus to frontier
+    exhaustion; throughput counts fetched+extracted pages."""
+    from pyspark.sql import functions as F
+
+    from acrawler_spark.plans.engine import CrawlConfig, CrawlEngine
+    from acrawler_spark.sources.corpus import corpus_from_documents
+    from acrawler_spark.sources.store import CheckpointStore
+
+    n_hosts = 32
+    corpus = corpus_from_documents(spark, sf_dir, n_hosts=n_hosts, fanout=4).persist()
+    corpus.count()  # materialize outside the timed section
+    seeds = [f"http://site{h}.test/p/{h}" for h in range(n_hosts)]
+    cfg = CrawlConfig(
+        seeds=seeds,
+        follow_patterns=[r"site\d+\.test"],
+        bloom_bits=1 << 20,
+        record_rank=False,  # no global-order window in the bench hot path
+        max_rounds=20,
+    )
+    root = tempfile.mkdtemp(prefix="acrawler_bench_")
+    store = CheckpointStore(root, spark)
+    t0 = time.monotonic()
+    CrawlEngine(spark, cfg, store).run(corpus)
+    secs = time.monotonic() - t0
+    fetched = store.read_appended("fetch_log").count()
+    ok = store.read_appended("fetch_log").filter(F.col("ok")).count()
+    shutil.rmtree(root, ignore_errors=True)
+    corpus.unpersist()
+    return {"fetched": fetched, "ok": ok, "secs": round(secs, 2),
+            "urls_per_sec": round(fetched / secs, 2)}
+
+
+def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--crawl-only":
+        cpus = int(sys.argv[2])
+        spark = _spark(cpus)
+        print(json.dumps(run_crawl(spark, SF_DIR)))
+        return
+
+    import __spark_entry__ as E
+
+    spark = _spark(CPUS)
+    crawl_high = run_crawl(spark, SF_DIR)
+
+    qtimes: dict[str, float] = {}
+    qs = E.queries()
+    for name in HEADLINE_QUERIES:
+        t0 = time.monotonic()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        qtimes[name] = round(time.monotonic() - t0, 3)
+
+    scaling = None
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        low_cpus = max(2, CPUS // 4)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--crawl-only", str(low_cpus)],
+            capture_output=True, text=True, env=os.environ.copy(),
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        low = json.loads(out.stdout.strip().splitlines()[-1])
+        eff = (crawl_high["urls_per_sec"] / low["urls_per_sec"]) / (CPUS / low_cpus)
+        scaling = {
+            "low_cpus": low_cpus,
+            "high_cpus": CPUS,
+            "low_urls_per_sec": low["urls_per_sec"],
+            "high_urls_per_sec": crawl_high["urls_per_sec"],
+            "low_secs": low["secs"],
+            "high_secs": crawl_high["secs"],
+            "efficiency": round(eff, 3),
+        }
+
+    total = round(crawl_high["secs"] + sum(qtimes.values()), 2)
+    result = {
+        "metric": "crawl_urls_fetched_extracted_per_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {"crawl": crawl_high["secs"], **qtimes},
+        "sf": SF_DIR,
+        "urls_per_sec": crawl_high["urls_per_sec"],
+        "urls_fetched": crawl_high["fetched"],
+        "scaling": scaling,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
