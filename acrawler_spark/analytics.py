@@ -483,14 +483,22 @@ FROM events GROUP BY user_id
 # ---------------------------------------------------------------------------
 
 def q_skip_if_exists(spark, sf_dir):
+    # manifest = "already downloaded" subset (every 3rd order's parts)
     part = _t(spark, sf_dir, "part")
-    manifest = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey")).distinct()
+    manifest = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 3 == 0)
+        .select(F.col("l_partkey").alias("p_partkey"))
+        .distinct()
+    )
     return part.join(manifest, "p_partkey", "left_anti").select("p_partkey", "p_name")
 
 
 SQL_SKIP_IF_EXISTS = """
 SELECT p_partkey, p_name FROM part
-WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_orderkey % 3 = 0
+)
 """
 
 

@@ -65,6 +65,9 @@ class CrawlConfig:
     bloom_bits: int = 1 << 20
     salt_n: int = 4
     record_rank: bool = True  # per-round global rank in fetch_log (order-parity tests)
+    detailed_metrics: bool = True  # count deferred rows per round (extra job)
+    seeds_inbox: str | None = None  # drop-dir seed ingestion (redis feeder analog)
+    robots_rules: dict | None = None  # {host: {"disallow": [...], "crawl_delay": s}}
 
     def effective_host_budget(self) -> int:
         """Fold DOWNLOAD_DELAY into the per-host round budget: with delay d,
@@ -88,6 +91,18 @@ class CrawlEngine:
             else None
         )
         self._parse_udf = make_parse_page_udf(cfg.links_to_abs, cfg.follow_patterns)
+        if cfg.seeds_inbox:
+            from acrawler_spark.streaming.seeds import SeedFeeder
+
+            self.feeder = SeedFeeder(spark, cfg.seeds_inbox)
+        else:
+            self.feeder = None
+        if cfg.robots_rules:
+            from acrawler_spark.operators.robots import rules_df
+
+            self.robots = rules_df(spark, cfg.robots_rules)
+        else:
+            self.robots = None
 
     # -- bootstrap ------------------------------------------------------------
 
@@ -121,8 +136,31 @@ class CrawlEngine:
         frontier = self.store.read_frontier()
         seen = self.store.read_appended("seen")
 
+        # between-round seed ingestion (redis feeder analog; at-least-once,
+        # idempotent through the dupefilter — handlers.py:282-293)
+        inbox_files: list[str] = []
+        new_seed_rows = None
+        if self.feeder is not None:
+            inbox_df, inbox_files = self.feeder.drain(rnd, now)
+            if inbox_df is not None:
+                new_seed_rows = admit_new_candidates(inbox_df, seen, self.bloom).persist()
+                frontier = frontier.unionByName(new_seed_rows.select(*frontier.columns))
+
         eligible = frontier.filter(F.col("exetime") <= F.lit(now))
         ineligible = frontier.filter(F.col("exetime") > F.lit(now))
+
+        # robots.txt admission (north-rule addition; absent in reference —
+        # SURVEY §7). Blocked rows are dropped permanently (they stay seen).
+        if self.robots is not None:
+            from acrawler_spark.operators.robots import apply_robots
+
+            eligible, robots_blocked = apply_robots(eligible, self.robots)
+            self.store.write_delta(
+                "robots_blocked",
+                rnd,
+                robots_blocked.select("url", "url_canon", "fingerprint", "host")
+                .withColumn("round", F.lit(rnd)),
+            )
 
         selected, deferred = apply_host_budgets(
             eligible,
@@ -243,13 +281,22 @@ class CrawlEngine:
             .unionByName(admitted.select(*frontier.columns))
         )
 
-        # metrics (counter.py:148-154 per-family [fail, success] + gauges)
-        n_selected = selected.count()
-        n_ok = ok_rows.count()
-        n_failed_final = failed.count()
+        # metrics (counter.py:148-154 per-family [fail, success] + gauges) —
+        # one agg action over the persisted fetch result instead of N counts
+        c = fetched.agg(
+            F.count("*").alias("n_selected"),
+            F.sum(F.col("ok").cast("long")).alias("n_ok"),
+            F.sum((~F.col("ok") & (F.col("tries_done") > cfg.max_tries)).cast("long")).alias(
+                "n_failed"
+            ),
+        ).first()
+        n_selected = c["n_selected"] or 0
+        n_ok = c["n_ok"] or 0
+        n_failed_final = c["n_failed"] or 0
         n_retries = n_selected - n_ok - n_failed_final
         n_admitted = admitted.count()
-        n_deferred = deferred.count()
+        # deferred count only when detailed metrics are on (extra job)
+        n_deferred = deferred.count() if cfg.detailed_metrics else -1
 
         metrics = self.spark.createDataFrame(
             [
@@ -277,11 +324,16 @@ class CrawlEngine:
         self.store.write_frontier(rnd, new_frontier)
         self.store.write_delta("items", rnd, items)
         self.store.write_delta("fetch_log", rnd, fetch_log)
-        self.store.write_delta("failed", rnd, failed)
+        if n_failed_final > 0:
+            self.store.write_delta("failed", rnd, failed)
         self.store.write_delta("metrics", rnd, metrics)
         self.store.write_delta("lineage", rnd, lineage)
-        if n_admitted > 0:
-            new_seen = admitted.select("fingerprint", F.lit(rnd).alias("added_round"))
+        new_seen = admitted.select("fingerprint", F.lit(rnd).alias("added_round"))
+        if new_seed_rows is not None:
+            new_seen = new_seen.unionByName(
+                new_seed_rows.select("fingerprint", F.lit(rnd).alias("added_round"))
+            )
+        if n_admitted > 0 or new_seed_rows is not None:
             self.store.write_delta("seen", rnd, new_seen)
             if self.bloom is not None:
                 self.bloom.add_fingerprints(new_seen)
@@ -292,8 +344,12 @@ class CrawlEngine:
              "deferred": n_deferred, "retried": n_retries, "failed": n_failed_final},
         )
 
+        if inbox_files:
+            self.feeder.consume(inbox_files)  # post-commit: at-least-once
         for df in (selected, fetched, parsed, admitted):
             df.unpersist()
+        if new_seed_rows is not None:
+            new_seed_rows.unpersist()
         return {
             "round": rnd, "selected": n_selected, "ok": n_ok,
             "admitted": n_admitted, "deferred": n_deferred,
@@ -322,9 +378,10 @@ class CrawlEngine:
                 F.count("*").alias("n"),
                 F.sum((F.col("exetime") <= F.lit(now)).cast("long")).alias("due"),
             ).first()
-            if agg["n"] == 0:
+            has_inbox = bool(self.feeder and self.feeder.pending_files())
+            if agg["n"] == 0 and not has_inbox:
                 break  # crawl finished (counter.join() == 0, crawler.py:706-724)
-            if (agg["due"] or 0) == 0:
+            if (agg["due"] or 0) == 0 and not has_inbox:
                 rnd += 1  # idle tick: nothing due yet (recrawl/defer in future)
                 continue
             history.append(self.run_round(rnd, corpus))

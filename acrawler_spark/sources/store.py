@@ -30,7 +30,7 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
-APPEND_TABLES = ("seen", "items", "fetch_log", "metrics", "lineage", "failed")
+APPEND_TABLES = ("seen", "items", "fetch_log", "metrics", "lineage", "failed", "robots_blocked")
 REWRITE_TABLES = ("frontier",)
 
 MANIFEST = "_manifest.json"

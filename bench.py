@@ -79,6 +79,7 @@ def run_crawl(spark, sf_dir: str) -> dict:
         follow_patterns=[r"site\d+\.test"],
         bloom_bits=1 << 20,
         record_rank=False,  # no global-order window in the bench hot path
+        detailed_metrics=False,
         max_rounds=20,
     )
     root = tempfile.mkdtemp(prefix="acrawler_bench_")
