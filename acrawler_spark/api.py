@@ -1,0 +1,85 @@
+"""Fluent builder API — the ChainCrawler/ChainRequest/ChainItem analog.
+
+Reference (chain.py:11-212, SURVEY §3.3): the fluent layer is sugar that
+compiles to vanilla Request/ParselItem objects and runs the same engine.
+Here it compiles to a (CrawlConfig, list[ItemSpec]) pair and runs the same
+CrawlEngine:
+
+    result = (
+        Crawl(seeds=["http://site0.test/p/0"])
+        .follow(r"site\\d+\\.test", limit=10)
+        .budget(per_host=4, special={"hot": 1})
+        .spawn("page", title=("h1.title::text", ["strip"]))
+        .run(spark, corpus, workdir)
+    )
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from acrawler_spark.operators.items import FieldRule, ItemSpec
+from acrawler_spark.plans.engine import CrawlConfig, CrawlEngine
+from acrawler_spark.sources.store import CheckpointStore
+
+
+class Crawl:
+    def __init__(self, seeds: list[str], **cfg_kwargs):
+        self._cfg = CrawlConfig(seeds=seeds, **cfg_kwargs)
+
+    def follow(self, *patterns: str, limit: int | None = None) -> "Crawl":
+        """ChainRequest.follow (chain.py:165-189): follow links matching
+        the regexes, optionally capped per page."""
+        self._cfg.follow_patterns = list(patterns)
+        self._cfg.follow_limit = limit
+        return self
+
+    def budget(self, per_host: int = 0, special: dict[str, int] | None = None,
+               delay: float = 0.0, round_cap: int | None = None) -> "Crawl":
+        self._cfg.max_requests_per_host = per_host
+        self._cfg.special_host_budgets = special or {}
+        self._cfg.download_delay = delay
+        self._cfg.round_cap = round_cap
+        return self
+
+    def robots(self, rules: dict) -> "Crawl":
+        self._cfg.robots_rules = rules
+        return self
+
+    def retry(self, max_tries: int, status_allowed: list[int] | None = None) -> "Crawl":
+        self._cfg.max_tries = max_tries
+        self._cfg.status_allowed = status_allowed
+        return self
+
+    def spawn(self, family: str, css_divider: str | None = None,
+              url_pattern: str | None = None, **fields) -> "Crawl":
+        """ChainItem/ChainCrawler.add item rules (chain.py:214-306): each
+        kwarg is field=(rule,) / (rule, processors) / (rule, processors,
+        default)."""
+        frs = {}
+        for name, spec in fields.items():
+            if isinstance(spec, str):
+                spec = (spec,)
+            rule, *rest = spec
+            procs = rest[0] if rest else []
+            dflt = rest[1] if len(rest) > 1 else None
+            frs[name] = FieldRule(rule, processors=procs, default=dflt)
+        self._cfg.item_specs.append(
+            ItemSpec(family=family, fields=frs, css_divider=css_divider, url_pattern=url_pattern)
+        )
+        return self
+
+    def handler(self, position: str, fn, priority: int = 100) -> "Crawl":
+        """@register analog (middleware.py:189-266)."""
+        self._cfg.handlers.setdefault(position, []).append((priority, fn))
+        return self
+
+    def config(self, **kwargs) -> "Crawl":
+        for k, v in kwargs.items():
+            setattr(self._cfg, k, v)
+        return self
+
+    def run(self, spark: SparkSession, corpus: DataFrame, workdir: str) -> CheckpointStore:
+        store = CheckpointStore(workdir, spark)
+        CrawlEngine(spark, self._cfg, store).run(corpus)
+        return store

@@ -102,6 +102,23 @@ def re_groups(regex: str, n_groups: int, default: str | None = None) -> Transfor
     return t
 
 
+def re_groupdict(regex: str, names: list[str], default: str | None = None) -> Transformer:
+    """Named groups as a map (processors.py:124-132). ``names`` lists the
+    group names in positional order (columnar regexp extraction is by
+    index; the names key the output map)."""
+    def t(col: Column) -> Column:
+        vals = [
+            F.coalesce(
+                F.when(F.regexp_extract(col, regex, i) != "", F.regexp_extract(col, regex, i)),
+                F.lit(default),
+            )
+            for i in range(1, len(names) + 1)
+        ]
+        m = F.map_from_arrays(F.array(*[F.lit(n) for n in names]), F.array(*vals))
+        return F.when(col.rlike(regex), m)
+    return t
+
+
 def default(d) -> Transformer:
     """Falsy => default (processors.py:134-142)."""
     return lambda col: F.when(truthy(col), col).otherwise(F.lit(d))

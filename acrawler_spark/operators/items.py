@@ -93,6 +93,7 @@ class ItemSpec:
     family: str
     fields: dict[str, FieldRule]
     css_divider: str | None = None  # fragment selector (parser.py:31-38)
+    url_pattern: str | None = None  # in_pattern gate (parser.py:62-73)
 
     def extract(self, pages: DataFrame, text_col: str = "extracted_text") -> DataFrame:
         """pages: (url, <text_col>, round, ...) -> one row per item with the

@@ -68,6 +68,12 @@ class CrawlConfig:
     detailed_metrics: bool = True  # count deferred rows per round (extra job)
     seeds_inbox: str | None = None  # drop-dir seed ingestion (redis feeder analog)
     robots_rules: dict | None = None  # {host: {"disallow": [...], "crawl_delay": s}}
+    in_pattern: str | None = None  # parse gate by response url (parser.py:62-73)
+    follow_limit: int | None = None  # max followed links per page (http.py:387-435)
+    item_specs: list = field(default_factory=list)  # operators.items.ItemSpec per family
+    # middleware: {"before_parse"|"after_parse": [(priority, fn(df, ctx) -> df)]}
+    # — family-matched, priority-descending handler stages (middleware.py:70-186)
+    handlers: dict = field(default_factory=dict)
 
     def effective_host_budget(self) -> int:
         """Fold DOWNLOAD_DELAY into the per-host round budget: with delay d,
@@ -103,6 +109,16 @@ class CrawlEngine:
             self.robots = rules_df(spark, cfg.robots_rules)
         else:
             self.robots = None
+
+    def _apply_handlers(self, position: str, df: DataFrame, rnd: int) -> DataFrame:
+        """Run registered pipeline-stage handlers (middleware.py:129-137
+        positions; priority-descending order, 0 disables —
+        middleware.py:268-276)."""
+        for prio, fn in sorted(self.cfg.handlers.get(position, []), key=lambda x: -x[0]):
+            if prio == 0:
+                continue
+            df = fn(df, {"round": rnd, "config": self.cfg})
+        return df
 
     # -- bootstrap ------------------------------------------------------------
 
@@ -207,10 +223,18 @@ class CrawlEngine:
         fetched = fetched.withColumn("ok", ok_col & F.col("c_url").isNotNull())
         fetched = fetched.withColumn("tries_done", F.col("tries") + 1).persist()
 
+        # handler middleware, position 1 = before execution (task.py:137-139)
+        fetched = self._apply_handlers("before_parse", fetched, rnd)
+
         ok_rows = fetched.filter(F.col("ok"))
+        # in_pattern gate (parser.py:62-73): only matching pages are parsed
+        if cfg.in_pattern:
+            ok_rows = ok_rows.filter(F.col("url_canon").rlike(cfg.in_pattern))
         parsed = ok_rows.withColumn(
             "parsed", self._parse_udf(F.col("html"), F.col("encoding"), F.col("url_canon"))
         ).persist()
+        # position 2 = after execution (task.py:144-147)
+        parsed = self._apply_handlers("after_parse", parsed, rnd)
 
         items = parsed.select(
             F.col("url_canon").alias("url"),
@@ -219,7 +243,30 @@ class CrawlEngine:
             F.col("lang"),
             F.col("depth"),
             F.lit(rnd).alias("round"),
+            F.lit(None).cast("map<string,string>").alias("content"),
         )
+        # item-rule families (ParselItem equivalents): extracted in the same
+        # round, appended to the same items table keyed by family
+        for spec in cfg.item_specs:
+            pages = parsed.select(
+                F.col("url_canon").alias("url"),
+                F.col("parsed.text").alias("extracted_text"),
+                "lang",
+                "depth",
+                F.lit(rnd).alias("round"),
+            )
+            if spec.url_pattern:
+                pages = pages.filter(F.col("url").rlike(spec.url_pattern))
+            spec_items = spec.extract(pages).join(
+                pages.select("url", "lang", "depth"), "url", "left"
+            )
+            items = items.unionByName(
+                spec_items.select(
+                    "url", "family",
+                    F.lit(None).cast("string").alias("extracted_text"),
+                    "lang", "depth", F.lit(rnd).alias("round"), "content",
+                )
+            )
 
         fetch_log = fetched.select(
             "url",
@@ -235,10 +282,14 @@ class CrawlEngine:
             F.when(~F.col("ok"), F.concat(F.lit("<"), F.col("status"), F.lit(">"))).alias("error"),
         )
 
-        # follow links (only when configured — parser.py:86)
+        # follow links (only when configured — parser.py:86); follow_limit
+        # caps links per page (paginate/follow limit, http.py:387-435)
         if cfg.follow_patterns:
+            links_col = F.col("parsed.links")
+            if cfg.follow_limit is not None:
+                links_col = F.slice(links_col, 1, cfg.follow_limit)
             link_src = parsed.select(
-                "depth", "ancestor", "meta", "rank", F.col("parsed.links").alias("links")
+                "depth", "ancestor", "meta", "rank", links_col.alias("links")
             )
             candidates = candidates_from_links(
                 link_src, rnd, now, cfg.child_priority, cfg.max_depth

@@ -143,32 +143,44 @@ def seed_urls(n_hosts: int = 4) -> list[str]:
 
 
 def corpus_from_documents(
-    spark: SparkSession, sf_dir: str, n_hosts: int = 32, fanout: int = 4
+    spark: SparkSession, sf_dir: str, n_hosts: int = 32, fanout: int = 4,
+    multiplier: int = 1,
 ) -> DataFrame:
     """Derive a crawlable corpus from documents.parquet with built-ins only.
 
-    Page doc_id links children doc_id*fanout+1..+fanout (a forest rooted at
-    doc_id 0..fanout-1 plus orphan roots), hosts assigned by doc_id % n_hosts
-    — a Zipf-free uniform layout; politeness/skew paths are exercised by the
-    per-host budget configs, not the generator. The whole derivation is one
-    narrow projection (no shuffle, no UDF) so bench time measures the engine,
-    not the generator.
+    Page graph: a forest over page ids 0..N*multiplier-1 — children of page
+    i are i*fanout+1..i*fanout+fanout; roots are ids < n_hosts. Each page's
+    host is its subtree root (computed by iterating parent = (i-1)/fanout),
+    so a tree lives wholly on one host and relative child hrefs resolve to
+    real corpus urls. Tree sizes differ -> realistic per-host skew. Page
+    text comes from documents (page_id % N), so content scales with the sf
+    dir while ``multiplier`` scales page count for compute-dominated
+    benches. The derivation is one broadcast join + narrow projection (no
+    UDF), so bench time measures the engine, not the generator.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n = docs.count()
-    d = docs.select(
-        "doc_id",
-        "text",
-        "lang",
-        (F.col("doc_id") % F.lit(n_hosts)).alias("h"),
-    )
+    n_pages = n * multiplier
+    ids = spark.range(n_pages).select(F.col("id").alias("doc_id"))
+    d = ids.join(
+        F.broadcast(docs.select(F.col("doc_id").alias("src_id"), "text", "lang")),
+        (F.col("doc_id") % n) == F.col("src_id"),
+    ).drop("src_id")
+    # host = subtree root: iterate parent=(i-1)/fanout until < n_hosts
+    import math
+
+    h = F.col("doc_id")
+    for _ in range(max(1, math.ceil(math.log(max(n_pages, 2), fanout))) + 1):
+        h = F.when(h >= n_hosts, F.floor((h - 1) / fanout)).otherwise(h)
+    d = d.withColumn("h", h.cast("long"))
     url = F.concat(F.lit("http://site"), F.col("h"), F.lit(".test/p/"), F.col("doc_id"))
     child_ids = F.filter(
         F.transform(
             F.sequence(F.lit(1), F.lit(fanout)),
             lambda j: F.col("doc_id") * fanout + j,
         ),
-        lambda c: c < F.lit(n),
+        # ids < n_hosts are other trees' roots (seeded directly, not linked)
+        lambda c: (c < F.lit(n_pages)) & (c >= F.lit(n_hosts)),
     )
     # children live on the same host => relative hrefs exercise absolutize
     links_html = F.aggregate(

@@ -37,9 +37,15 @@ MANIFEST = "_manifest.json"
 
 
 class CheckpointStore:
-    def __init__(self, root: str, spark: SparkSession):
+    def __init__(self, root: str, spark: SparkSession, write_partitions: int | None = None):
+        """``write_partitions`` coalesces every table write to at most that
+        many files — the local-mode stand-in for Iceberg's target-file-size
+        compaction. Round tables are small relative to the cluster's task
+        count, so uncapped writes produce swarms of tiny files whose
+        open/close overhead dominates small rounds."""
         self.root = root
         self.spark = spark
+        self.write_partitions = write_partitions
         os.makedirs(root, exist_ok=True)
 
     # -- manifest -----------------------------------------------------------
@@ -74,12 +80,17 @@ class CheckpointStore:
 
     # -- write (staged; becomes visible only at commit_round) ----------------
 
+    def _capped(self, df: DataFrame) -> DataFrame:
+        if self.write_partitions is not None:
+            return df.coalesce(self.write_partitions)
+        return df
+
     def write_delta(self, table: str, rnd: int, df: DataFrame) -> None:
         assert table in APPEND_TABLES, table
-        df.write.mode("overwrite").parquet(self._delta_path(table, rnd))
+        self._capped(df).write.mode("overwrite").parquet(self._delta_path(table, rnd))
 
     def write_frontier(self, rnd: int, df: DataFrame) -> None:
-        df.write.mode("overwrite").parquet(self._frontier_path(rnd))
+        self._capped(df).write.mode("overwrite").parquet(self._frontier_path(rnd))
 
     def commit_round(self, rnd: int, extra: dict | None = None) -> None:
         m = self.read_manifest()

@@ -61,7 +61,7 @@ def _spark(cpus: int):
     )
 
 
-def run_crawl(spark, sf_dir: str) -> dict:
+def run_crawl(spark, sf_dir: str, cpus: int) -> dict:
     """The headline workload: crawl a documents-derived corpus to frontier
     exhaustion; throughput counts fetched+extracted pages."""
     from pyspark.sql import functions as F
@@ -71,7 +71,10 @@ def run_crawl(spark, sf_dir: str) -> dict:
     from acrawler_spark.sources.store import CheckpointStore
 
     n_hosts = 32
-    corpus = corpus_from_documents(spark, sf_dir, n_hosts=n_hosts, fanout=4).persist()
+    mult = int(os.environ.get("SPARK_GRAFT_CORPUS_MULT", "10"))
+    corpus = corpus_from_documents(
+        spark, sf_dir, n_hosts=n_hosts, fanout=4, multiplier=mult
+    ).persist()
     corpus.count()  # materialize outside the timed section
     seeds = [f"http://site{h}.test/p/{h}" for h in range(n_hosts)]
     cfg = CrawlConfig(
@@ -83,7 +86,7 @@ def run_crawl(spark, sf_dir: str) -> dict:
         max_rounds=20,
     )
     root = tempfile.mkdtemp(prefix="acrawler_bench_")
-    store = CheckpointStore(root, spark)
+    store = CheckpointStore(root, spark, write_partitions=max(2, cpus // 4))
     t0 = time.monotonic()
     CrawlEngine(spark, cfg, store).run(corpus)
     secs = time.monotonic() - t0
@@ -99,13 +102,13 @@ def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--crawl-only":
         cpus = int(sys.argv[2])
         spark = _spark(cpus)
-        print(json.dumps(run_crawl(spark, SF_DIR)))
+        print(json.dumps(run_crawl(spark, SF_DIR, cpus)))
         return
 
     import __spark_entry__ as E
 
     spark = _spark(CPUS)
-    crawl_high = run_crawl(spark, SF_DIR)
+    crawl_high = run_crawl(spark, SF_DIR, CPUS)
 
     qtimes: dict[str, float] = {}
     qs = E.queries()
