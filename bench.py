@@ -148,7 +148,55 @@ def main() -> None:
         "urls_fetched": crawl_high["fetched"],
         "scaling": scaling,
     }
+    _write_baseline_md(result)
     print(json.dumps(result))
+
+
+def _write_baseline_md(r: dict) -> None:
+    """North-rule evidence file: throughput at two parallelism levels +
+    scaling efficiency (BENCH/BASELINE.md)."""
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(d, exist_ok=True)
+    s = r.get("scaling") or {}
+    lines = [
+        "# BENCH baseline — measured",
+        "",
+        f"Input: documents-derived page corpus at `{r['sf']}` "
+        f"({r['urls_fetched']} URLs fetched+extracted to frontier exhaustion;",
+        "full engine path: eligibility filter, salted politeness windows, Bloom-",
+        "prefiltered seen anti-join, corpus fetch-join, Arrow decode+absolutize+",
+        "link extraction, retry/recrawl branches, per-round snapshot commits).",
+        "",
+        "| metric | value |",
+        "|---|---|",
+        f"| URLs fetched+extracted/sec (local[{s.get('high_cpus', CPUS)}]) | {r['urls_per_sec']} |",
+        f"| crawl wall time | {r['queries']['crawl']} s |",
+    ]
+    if s:
+        lines += [
+            f"| URLs/sec at local[{s['low_cpus']}] (N) | {s['low_urls_per_sec']} |",
+            f"| URLs/sec at local[{s['high_cpus']}] (4N) | {s['high_urls_per_sec']} |",
+            f"| scaling efficiency N->4N | **{s['efficiency']}** |",
+        ]
+    lines += [
+        "",
+        "Per-query seconds (sf0.1):",
+        "",
+        "| query | sec |",
+        "|---|---|",
+    ]
+    for k, v in r["queries"].items():
+        lines.append(f"| {k} | {v} |")
+    lines += [
+        "",
+        "Caveat: local-mode scaling conflates executor scaling with in-box",
+        "thread scaling; a single shared JVM, page cache, and disk mean the",
+        "4N point is bounded by the host, not by the engine's shuffle",
+        "structure. See SCALING.md for the partitioning argument at cluster",
+        "scale.",
+    ]
+    with open(os.path.join(d, "BASELINE.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
 
 
 if __name__ == "__main__":
