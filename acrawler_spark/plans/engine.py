@@ -148,6 +148,13 @@ class CrawlEngine:
         cfg = self.cfg
         now = cfg.t0 + rnd * cfg.round_seconds
         wall_start = time.monotonic()
+        timing: dict[str, float] = {}
+        _t = [wall_start]
+
+        def tick(label: str) -> None:
+            nowm = time.monotonic()
+            timing[label] = round(nowm - _t[0], 2)
+            _t[0] = nowm
 
         frontier = self.store.read_frontier()
         seen = self.store.read_appended("seen")
@@ -332,6 +339,7 @@ class CrawlEngine:
             .unionByName(admitted.select(*frontier.columns))
         )
 
+        tick("plan_build")
         # metrics (counter.py:148-154 per-family [fail, success] + gauges) —
         # one agg action over the persisted fetch result instead of N counts
         c = fetched.agg(
@@ -345,7 +353,9 @@ class CrawlEngine:
         n_ok = c["n_ok"] or 0
         n_failed_final = c["n_failed"] or 0
         n_retries = n_selected - n_ok - n_failed_final
+        tick("fetch_agg")
         n_admitted = admitted.count()
+        tick("parse_admit")
         # deferred count only when detailed metrics are on (extra job)
         n_deferred = deferred.count() if cfg.detailed_metrics else -1
 
@@ -373,12 +383,15 @@ class CrawlEngine:
 
         # -- commit (staged writes, then atomic manifest bump) ----------------
         self.store.write_frontier(rnd, new_frontier)
+        tick("frontier_write")
         self.store.write_delta("items", rnd, items)
+        tick("items_write")
         self.store.write_delta("fetch_log", rnd, fetch_log)
         if n_failed_final > 0:
             self.store.write_delta("failed", rnd, failed)
         self.store.write_delta("metrics", rnd, metrics)
         self.store.write_delta("lineage", rnd, lineage)
+        tick("log_writes")
         new_seen = admitted.select("fingerprint", F.lit(rnd).alias("added_round"))
         if new_seed_rows is not None:
             new_seen = new_seen.unionByName(
@@ -389,6 +402,7 @@ class CrawlEngine:
             if self.bloom is not None:
                 self.bloom.add_fingerprints(new_seen)
                 self.bloom.save()
+        tick("seen_bloom")
         self.store.commit_round(
             rnd,
             {"selected": n_selected, "ok": n_ok, "admitted": n_admitted,
@@ -405,6 +419,7 @@ class CrawlEngine:
             "round": rnd, "selected": n_selected, "ok": n_ok,
             "admitted": n_admitted, "deferred": n_deferred,
             "retried": n_retries, "failed": n_failed_final,
+            "timing": timing, "wall_s": round(time.monotonic() - wall_start, 3),
         }
 
     # -- loop ------------------------------------------------------------------
