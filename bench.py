@@ -58,6 +58,7 @@ def _spark(cpus: int):
         app_name=f"bench_{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
+        extra_conf={"spark.driver.memory": os.environ.get("ACRAWLER_DRIVER_MEM", "24g")},
     )
 
 
