@@ -68,12 +68,25 @@ class FieldRule:
     processors: list = dc_field(default_factory=list)
     default: object = None
     drop_item_if_falsy: bool = False
+    # inline nested items (item.py:279-303): the rule selects fragment(s),
+    # and ``inline`` extracts a sub-item struct from each fragment
+    inline: "ItemSpec | None" = None
 
     def compile(self, text: Column) -> Column:
         if self.rule.startswith("re:"):
             regex, group = self.rule[3:], 1
         else:
             regex, group = _css_to_regex(self.rule)
+        if self.inline is not None:
+            def sub_struct(frag: Column) -> Column:
+                return F.struct(
+                    *[r.compile(frag).alias(n) for n, r in self.inline.fields.items()]
+                )
+            if self.getall:
+                frags = F.regexp_extract_all(text, F.lit(regex), F.lit(group))
+                return F.when(F.size(frags) > 0, F.transform(frags, sub_struct))
+            frag = F.regexp_extract(text, regex, group)
+            return F.when(text.rlike(regex), sub_struct(frag))
         if self.getall:
             col = F.regexp_extract_all(text, F.lit(regex), F.lit(group))
             col = F.when(F.size(col) > 0, col)  # [] -> NULL (no match)

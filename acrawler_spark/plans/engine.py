@@ -228,25 +228,49 @@ class CrawlEngine:
         else:
             ok_col = (F.col("status") == 200) | F.col("status").isin(cfg.status_allowed)
         fetched = fetched.withColumn("ok", ok_col & F.col("c_url").isNotNull())
-        fetched = fetched.withColumn("tries_done", F.col("tries") + 1).persist()
+        fetched = fetched.withColumn("tries_done", F.col("tries") + 1)
 
         # handler middleware, position 1 = before execution (task.py:137-139)
         fetched = self._apply_handlers("before_parse", fetched, rnd)
 
-        ok_rows = fetched.filter(F.col("ok"))
-        # in_pattern gate (parser.py:62-73): only matching pages are parsed
+        # parse gate: only ok pages matching in_pattern are parsed
+        # (parser.py:62-73); masked JVM-side by nulling html so the Arrow
+        # UDF sees one batch stream and skips gated rows for free
+        parse_gate = F.col("ok")
         if cfg.in_pattern:
-            ok_rows = ok_rows.filter(F.col("url_canon").rlike(cfg.in_pattern))
-        parsed = ok_rows.withColumn(
-            "parsed", self._parse_udf(F.col("html"), F.col("encoding"), F.col("url_canon"))
-        ).persist()
-        # position 2 = after execution (task.py:144-147)
-        parsed = self._apply_handlers("after_parse", parsed, rnd)
+            parse_gate = parse_gate & F.col("url_canon").rlike(cfg.in_pattern)
 
-        items = parsed.select(
+        # stage the round's page-level result ONCE: a single heavy job runs
+        # fetch-join + Arrow parse and writes the `pages` delta with html
+        # DROPPED (text+links kept). Every downstream consumer (items,
+        # fetch_log, candidates, retry/recrawl, metrics) is a column-pruned
+        # scan of this delta — the UDF runs exactly once per page and no
+        # multi-hundred-MB cache blocks churn the executors.
+        pages_staged = fetched.select(
+            *frontier.columns,
+            "rank",
+            "status",
+            "ok",
+            "tries_done",
+            "lang",
+            F.coalesce(F.length("html"), F.lit(0)).cast("long").alias("bytes"),
+            self._parse_udf(
+                F.when(parse_gate, F.col("html")), F.col("encoding"), F.col("url_canon")
+            ).alias("parsed"),
+        ).select(
+            "*",
+            F.col("parsed.text").alias("text"),
+            F.col("parsed.links").alias("links"),
+        ).drop("parsed").withColumn("round", F.lit(rnd))
+        self.store.write_delta("pages", rnd, pages_staged)
+        pages = self.store.read_delta_one("pages", rnd)
+        # position 2 = after execution (task.py:144-147)
+        pages = self._apply_handlers("after_parse", pages, rnd)
+
+        items = pages.filter(F.col("ok") & F.col("text").isNotNull()).select(
             F.col("url_canon").alias("url"),
             F.col("family"),
-            F.col("parsed.text").alias("extracted_text"),
+            F.col("text").alias("extracted_text"),
             F.col("lang"),
             F.col("depth"),
             F.lit(rnd).alias("round"),
@@ -255,17 +279,11 @@ class CrawlEngine:
         # item-rule families (ParselItem equivalents): extracted in the same
         # round, appended to the same items table keyed by family
         for spec in cfg.item_specs:
-            pages = parsed.select(
-                F.col("url_canon").alias("url"),
-                F.col("parsed.text").alias("extracted_text"),
-                "lang",
-                "depth",
-                F.lit(rnd).alias("round"),
-            )
+            src = items.select("url", "extracted_text", "lang", "depth", "round")
             if spec.url_pattern:
-                pages = pages.filter(F.col("url").rlike(spec.url_pattern))
-            spec_items = spec.extract(pages).join(
-                pages.select("url", "lang", "depth"), "url", "left"
+                src = src.filter(F.col("url").rlike(spec.url_pattern))
+            spec_items = spec.extract(src).join(
+                src.select("url", "lang", "depth"), "url", "left"
             )
             items = items.unionByName(
                 spec_items.select(
@@ -275,27 +293,27 @@ class CrawlEngine:
                 )
             )
 
-        fetch_log = fetched.select(
+        fetch_log = pages.select(
             "url",
             "url_canon",
             "fingerprint",
-            F.lit(rnd).alias("round"),
+            "round",
             "rank",
             "status",
             "ok",
             F.col("tries_done").alias("tries"),
             "host",
-            F.coalesce(F.length("html"), F.lit(0)).cast("long").alias("bytes"),
+            "bytes",
             F.when(~F.col("ok"), F.concat(F.lit("<"), F.col("status"), F.lit(">"))).alias("error"),
         )
 
         # follow links (only when configured — parser.py:86); follow_limit
         # caps links per page (paginate/follow limit, http.py:387-435)
         if cfg.follow_patterns:
-            links_col = F.col("parsed.links")
+            links_col = F.col("links")
             if cfg.follow_limit is not None:
                 links_col = F.slice(links_col, 1, cfg.follow_limit)
-            link_src = parsed.select(
+            link_src = pages.filter(F.col("links").isNotNull()).select(
                 "depth", "ancestor", "meta", "rank", links_col.alias("links")
             )
             candidates = candidates_from_links(
@@ -307,14 +325,14 @@ class CrawlEngine:
 
         # retry branch (crawler.py:98-114): failed & tries_done <= max_tries
         retries = (
-            fetched.filter(~F.col("ok") & (F.col("tries_done") <= cfg.max_tries))
+            pages.filter(~F.col("ok") & (F.col("tries_done") <= cfg.max_tries))
             .select(*frontier.columns)
             .withColumn("tries", F.col("tries") + 1)
             .withColumn("exetime", F.lit(now))
             .withColumn("dont_filter", F.lit(True))
         )
         failed = (
-            fetched.filter(~F.col("ok") & (F.col("tries_done") > cfg.max_tries))
+            pages.filter(~F.col("ok") & (F.col("tries_done") > cfg.max_tries))
             .select(
                 "url", "url_canon", "fingerprint", "host",
                 F.col("tries_done").alias("tries"), "status",
@@ -324,7 +342,7 @@ class CrawlEngine:
         # recrawl branch (crawler.py:122-126): success & recrawl>0 re-enqueues
         # with tries=0, exetime=last_crawl+recrawl, dont_filter
         recrawls = (
-            fetched.filter(F.col("ok") & (F.col("recrawl") > 0))
+            pages.filter(F.col("ok") & (F.col("recrawl") > 0))
             .select(*frontier.columns)
             .withColumn("tries", F.lit(0))
             .withColumn("exetime", F.lit(now) + F.col("recrawl").cast("double"))
@@ -341,8 +359,8 @@ class CrawlEngine:
 
         tick("plan_build")
         # metrics (counter.py:148-154 per-family [fail, success] + gauges) —
-        # one agg action over the persisted fetch result instead of N counts
-        c = fetched.agg(
+        # one column-pruned agg over the staged pages delta
+        c = pages.agg(
             F.count("*").alias("n_selected"),
             F.sum(F.col("ok").cast("long")).alias("n_ok"),
             F.sum((~F.col("ok") & (F.col("tries_done") > cfg.max_tries)).cast("long")).alias(
@@ -411,7 +429,7 @@ class CrawlEngine:
 
         if inbox_files:
             self.feeder.consume(inbox_files)  # post-commit: at-least-once
-        for df in (selected, fetched, parsed, admitted):
+        for df in (selected, admitted):
             df.unpersist()
         if new_seed_rows is not None:
             new_seed_rows.unpersist()

@@ -144,7 +144,7 @@ def seed_urls(n_hosts: int = 4) -> list[str]:
 
 def corpus_from_documents(
     spark: SparkSession, sf_dir: str, n_hosts: int = 32, fanout: int = 4,
-    multiplier: int = 1,
+    multiplier: int = 1, body_repeat: int = 1,
 ) -> DataFrame:
     """Derive a crawlable corpus from documents.parquet with built-ins only.
 
@@ -162,8 +162,15 @@ def corpus_from_documents(
     n = docs.count()
     n_pages = n * multiplier
     ids = spark.range(n_pages).select(F.col("id").alias("doc_id"))
+    body = docs.select(F.col("doc_id").alias("src_id"), "text", "lang")
+    if body_repeat > 1:
+        # realistic Common-Crawl page sizes (tens of KB): repeat the source
+        # text so per-URL decode/absolutize/extract work is representative
+        body = body.withColumn(
+            "text", F.array_join(F.array_repeat(F.col("text"), body_repeat), " ")
+        )
     d = ids.join(
-        F.broadcast(docs.select(F.col("doc_id").alias("src_id"), "text", "lang")),
+        F.broadcast(body),
         (F.col("doc_id") % n) == F.col("src_id"),
     ).drop("src_id")
     # host = subtree root: iterate parent=(i-1)/fanout until < n_hosts

@@ -30,7 +30,10 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
-APPEND_TABLES = ("seen", "items", "fetch_log", "metrics", "lineage", "failed", "robots_blocked")
+APPEND_TABLES = (
+    "seen", "items", "fetch_log", "metrics", "lineage", "failed",
+    "robots_blocked", "pages",
+)
 REWRITE_TABLES = ("frontier",)
 
 MANIFEST = "_manifest.json"
@@ -113,6 +116,12 @@ class CheckpointStore:
         if rnd < 0:
             return None
         return self.spark.read.parquet(self._frontier_path(rnd))
+
+    def read_delta_one(self, table: str, rnd: int) -> DataFrame:
+        """Read one round's staged delta (also valid pre-commit within the
+        round that staged it — the engine stages `pages` then derives the
+        round's other tables from its columnar scan)."""
+        return self.spark.read.parquet(self._delta_path(table, rnd))
 
     def read_appended(self, table: str, upto_round: int | None = None) -> DataFrame | None:
         """Union of committed deltas. At Iceberg scale this is a single

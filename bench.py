@@ -58,7 +58,12 @@ def _spark(cpus: int):
         app_name=f"bench_{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
-        extra_conf={"spark.driver.memory": os.environ.get("ACRAWLER_DRIVER_MEM", "24g")},
+        extra_conf={
+            "spark.driver.memory": os.environ.get("ACRAWLER_DRIVER_MEM", "24g"),
+            # compressed-page corpora: split scans small enough that the
+            # decompressed fetch-join/parse work spreads across all cores
+            "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+        },
     )
 
 
@@ -73,14 +78,20 @@ def run_crawl(spark, sf_dir: str, cpus: int) -> dict:
 
     n_hosts = 32
     mult = int(os.environ.get("SPARK_GRAFT_CORPUS_MULT", "40"))
+    body_repeat = int(os.environ.get("SPARK_GRAFT_BODY_REPEAT", "64"))
     # materialize the derived corpus to parquet and re-read: the engine then
     # joins against a clean file scan (the at-scale shape — corpus IS a
     # table), not a giant generator expression tree that Spark's eager
     # analyzer would re-walk on every round's plan construction
     corpus_dir = tempfile.mkdtemp(prefix="acrawler_corpus_")
+    # hash-partition the corpus by url on disk (the Iceberg bucket(url)
+    # layout): repeated synthetic text compresses ~50:1, so without an
+    # explicit file layout the whole corpus lands in one scan split and the
+    # fetch-join + parse UDF run on a single task
     corpus_from_documents(
-        spark, sf_dir, n_hosts=n_hosts, fanout=4, multiplier=mult
-    ).write.mode("overwrite").parquet(corpus_dir)
+        spark, sf_dir, n_hosts=n_hosts, fanout=4, multiplier=mult,
+        body_repeat=body_repeat,
+    ).repartition(max(64, cpus * 4), "url").write.mode("overwrite").parquet(corpus_dir)
     corpus = spark.read.parquet(corpus_dir)
     seeds = [f"http://site{h}.test/p/{h}" for h in range(n_hosts)]
     cfg = CrawlConfig(
@@ -113,6 +124,10 @@ def run_crawl(spark, sf_dir: str, cpus: int) -> dict:
         "steady_urls": steady_urls,
         "steady_secs": round(steady_secs, 2),
         "steady_urls_per_sec": round(steady_urls / steady_secs, 2),
+        "round_timings": [
+            {"round": h["round"], "selected": h["selected"], **h["timing"]}
+            for h in history
+        ],
     }
 
 

@@ -80,3 +80,28 @@ def test_default_value(spark):
     df = spark.createDataFrame([("u", "nothing here", 1)], "url string, extracted_text string, round int")
     spec = ItemSpec(family="d", fields={"x": FieldRule("span.x::text", default="unknown")})
     assert spec.extract(df).first().x == "unknown"
+
+
+def test_inline_nested_items(spark):
+    # item.py:279-303: inline rules load sub-items (per inline_divider
+    # fragment) into a field
+    from acrawler_spark.operators.items import FieldRule, ItemSpec
+
+    html = (
+        '<div class="book"><span class="t">B1</span><span class="p">$ 3.5</span></div>'
+        '<div class="book"><span class="t">B2</span><span class="p">$ 4.0</span></div>'
+    )
+    df = spark.createDataFrame([("u", html, 1)], "url string, extracted_text string, round int")
+    inner = ItemSpec(
+        family="book",
+        fields={
+            "t": FieldRule("span.t::text"),
+            "p": FieldRule("span.p::text", processors=["to_float"]),
+        },
+    )
+    spec = ItemSpec(
+        family="shelf",
+        fields={"books": FieldRule("div.book::text", getall=True, inline=inner)},
+    )
+    row = spec.extract(df).first()
+    assert [(b.t, b.p) for b in row.books] == [("B1", 3.5), ("B2", 4.0)]
