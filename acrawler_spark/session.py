@@ -42,7 +42,9 @@ def get_spark(
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         # Arrow for all pandas-UDF boundaries (input_hint: no per-row Python).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # web pages are tens of KB each: small Arrow batches keep per-worker
+        # peak memory (batch_rows x page_size x pandas overhead) bounded
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("ACRAWLER_DRIVER_MEM", "8g"))
     )

@@ -84,8 +84,12 @@ class CheckpointStore:
     # -- write (staged; becomes visible only at commit_round) ----------------
 
     def _capped(self, df: DataFrame) -> DataFrame:
+        # repartition, NOT coalesce: coalesce would fuse into the upstream
+        # stage and collapse the whole job (join + Arrow UDF included) to
+        # `write_partitions` tasks; the shuffle boundary keeps upstream at
+        # full parallelism and only the write stage is capped
         if self.write_partitions is not None:
-            return df.coalesce(self.write_partitions)
+            return df.repartition(self.write_partitions)
         return df
 
     def write_delta(self, table: str, rnd: int, df: DataFrame) -> None:
