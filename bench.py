@@ -77,7 +77,7 @@ def run_crawl(spark, sf_dir: str, cpus: int) -> dict:
     from acrawler_spark.sources.store import CheckpointStore
 
     n_hosts = 32
-    mult = int(os.environ.get("SPARK_GRAFT_CORPUS_MULT", "40"))
+    mult = int(os.environ.get("SPARK_GRAFT_CORPUS_MULT", "8"))
     body_repeat = int(os.environ.get("SPARK_GRAFT_BODY_REPEAT", "64"))
     # materialize the derived corpus to parquet and re-read: the engine then
     # joins against a clean file scan (the at-scale shape — corpus IS a
