@@ -85,3 +85,10 @@ def test_string_ref_registry(spark):
     assert _apply(spark, t, ["  33 units "]) == [33]
     t2 = P.compile_spec("re:(\\d+)")
     assert _apply(spark, t2, ["n=42"]) == ["42"]
+
+
+def test_re_groupdict(spark):
+    t = P.re_groupdict(r"(\d+)-(\d+)", ["lo", "hi"])
+    out = _apply(spark, t, ["a 12-34 b", "zz"])
+    assert out[0] == {"lo": "12", "hi": "34"}
+    assert out[1] is None
