@@ -74,6 +74,7 @@ class CrawlConfig:
     # middleware: {"before_parse"|"after_parse": [(priority, fn(df, ctx) -> df)]}
     # — family-matched, priority-descending handler stages (middleware.py:70-186)
     handlers: dict = field(default_factory=dict)
+    seen_compact_deltas: int = 16  # compact seen when this many deltas accrue
 
     def effective_host_budget(self) -> int:
         """Fold DOWNLOAD_DELAY into the per-host round budget: with delay d,
@@ -429,6 +430,10 @@ class CrawlEngine:
 
         if inbox_files:
             self.feeder.consume(inbox_files)  # post-commit: at-least-once
+        # bound the seen table's delta-file count over long crawls
+        # (Iceberg rewrite_data_files analog)
+        if self.store.delta_count("seen") >= cfg.seen_compact_deltas:
+            self.store.compact("seen")
         for df in (selected, admitted):
             df.unpersist()
         if new_seed_rows is not None:

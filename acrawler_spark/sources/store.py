@@ -128,14 +128,49 @@ class CheckpointStore:
         return self.spark.read.parquet(self._delta_path(table, rnd))
 
     def read_appended(self, table: str, upto_round: int | None = None) -> DataFrame | None:
-        """Union of committed deltas. At Iceberg scale this is a single
-        partitioned-table scan; here an explicit multi-path parquet read."""
+        """Union of committed deltas (plus the latest compacted base, if
+        any). At Iceberg scale this is a single partitioned-table scan;
+        here an explicit multi-path parquet read."""
         upto = self.last_round if upto_round is None else upto_round
-        paths = [
+        m = self.read_manifest()
+        base_round = m.get("compacted", {}).get(table, -1)
+        paths = []
+        if base_round >= 0 and base_round <= upto:
+            paths.append(self._compact_path(table, base_round))
+        paths += [
             self._delta_path(table, r)
-            for r in self.read_manifest().get("committed", [])
-            if r <= upto and os.path.exists(self._delta_path(table, r))
+            for r in m.get("committed", [])
+            if base_round < r <= upto and os.path.exists(self._delta_path(table, r))
         ]
         if not paths:
             return None
         return self.spark.read.parquet(*paths)
+
+    # -- compaction (Iceberg rewrite_data_files analog) -----------------------
+
+    def _compact_path(self, table: str, rnd: int) -> str:
+        return os.path.join(self.root, table, f"compacted_round={rnd}")
+
+    def delta_count(self, table: str) -> int:
+        m = self.read_manifest()
+        base_round = m.get("compacted", {}).get(table, -1)
+        return sum(
+            1
+            for r in m.get("committed", [])
+            if r > base_round and os.path.exists(self._delta_path(table, r))
+        )
+
+    def compact(self, table: str) -> None:
+        """Rewrite base + deltas up to the last committed round into one
+        compacted base. Readers before the manifest flip see the old layout;
+        after, the new one — same snapshot-isolation contract as commits.
+        Old files are retained (snapshot history), like Iceberg's
+        rewrite_data_files + expire_snapshots being separate steps."""
+        upto = self.last_round
+        df = self.read_appended(table, upto)
+        if df is None:
+            return
+        self._capped(df).write.mode("overwrite").parquet(self._compact_path(table, upto))
+        m = self.read_manifest()
+        m.setdefault("compacted", {})[table] = upto
+        self._write_manifest(m)
