@@ -154,7 +154,7 @@ def run_parse_probe(spark, sf_dir: str) -> float:
 
     d = tf.mkdtemp(prefix="acrawler_probe_")
     corpus_from_documents(
-        spark, sf_dir, n_hosts=32, fanout=4, multiplier=10, body_repeat=64
+        spark, sf_dir, n_hosts=32, fanout=4, multiplier=4, body_repeat=64
     ).repartition(128, "url").write.mode("overwrite").parquet(d)
     c = spark.read.parquet(d)
     n = c.count()
@@ -172,7 +172,7 @@ def run_parse_probe(spark, sf_dir: str) -> float:
 
 def run_all(cpus: int) -> dict:
     """Best-of-REPS crawl + parse probe at one parallelism level."""
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
     spark = _spark(cpus)
     steal0 = _steal_jiffies()
     runs = [run_crawl(spark, SF_DIR, cpus) for _ in range(reps)]
