@@ -75,18 +75,47 @@ FROM p
 
 
 # §2.3: sha1 fingerprint (reference http.py:138-145). DuckDB 1.0 has no
-# sha1 => rows-only check; exactness is pinned by tests/test_functions.py
-# against the reference golden value instead.
+# sha1, so the oracle checks DuckDB-computable derivatives on the SAME rows:
+# md5(url_canon), the fingerprint's length (40) and hex-charset flag. sha1
+# exactness itself is pinned by tests/test_kernel.py against the reference
+# golden value (tests/test_request.py:8-10).
 
 def q_url_fingerprint(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").withColumn("url", _event_url_col())
     canon = canonicalize_col(F.col("url"))
+    fp = fingerprint_col(canon)
     return ev.select(
         "event_id",
         canon.alias("url_canon"),
-        fingerprint_col(canon).alias("fingerprint"),
+        F.md5(canon).alias("canon_md5"),
+        F.length(fp).alias("fp_len"),
+        fp.rlike("^[0-9a-f]{40}$").alias("fp_is_hex"),
         host_col(F.col("url")).alias("host"),
     )
+
+
+SQL_URL_FINGERPRINT = f"""
+WITH u AS (SELECT event_id, {_EVENT_URL_SQL} AS url FROM events),
+p AS (
+  SELECT event_id, url,
+         split_part(url, '#', 1) AS base,
+         split_part(split_part(url, '#', 1), '?', 1) AS pre
+  FROM u
+),
+c AS (
+  SELECT event_id, url,
+         CASE WHEN strpos(base, '?') > 0
+              THEN pre || '?' || array_to_string(list_sort(string_split(substr(base, strpos(base,'?') + 1), '&')), '&')
+              ELSE pre END AS url_canon
+  FROM p
+)
+SELECT event_id, url_canon,
+       md5(url_canon) AS canon_md5,
+       40 AS fp_len,
+       true AS fp_is_hex,
+       split_part(split_part(url, '://', 2), '/', 1) AS host
+FROM c
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -354,7 +383,12 @@ def q_meta_merge(spark, sf_dir):
         F.lit("e"), F.lit("override"),
         F.lit("v"), F.round(F.col("value")).cast("long").cast("string"),
     )
-    merged = F.map_concat(parent.alias("p"), child)  # child wins on key clash
+    # child-wins merge (crawler.py:77 `{**task.meta, **new_task.meta}`),
+    # duplicate-free by construction so it is independent of the session's
+    # spark.sql.mapKeyDedupPolicy (the driver harness runs EXCEPTION default)
+    merged = F.map_concat(
+        F.map_filter(parent, lambda k, _v: ~F.map_contains_key(child, k)), child
+    )
     # stringify sorted for a portable value representation
     entries = F.transform(
         F.array_sort(F.map_keys(merged)), lambda k: F.concat(k, F.lit("="), merged[k])
@@ -523,7 +557,7 @@ FROM events GROUP BY user_id
 REGISTRY: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql or None)
     "url_canonicalize": (q_url_canonicalize, SQL_URL_CANONICALIZE),
-    "url_fingerprint": (q_url_fingerprint, None),  # sha1 absent in DuckDB 1.0
+    "url_fingerprint": (q_url_fingerprint, SQL_URL_FINGERPRINT),
     "frontier_rank": (q_frontier_rank, SQL_FRONTIER_RANK),
     "host_budget": (q_host_budget, SQL_HOST_BUDGET),
     "seen_antijoin": (q_seen_antijoin, SQL_SEEN_ANTIJOIN),
