@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 
 import numpy as np
 import pandas as pd
@@ -55,10 +56,20 @@ class BloomSidecar:
     """Per-bucket Bloom bit arrays persisted next to the seen table.
 
     Layout: ``<path>/meta.json`` + ``<path>/bucket_<i>.npy`` (uint64 words).
-    Updates are incremental (OR new bits in); loads are lazy. In production
-    each bucket file lives beside its Iceberg seen-partition and is
-    rewritten by the executor that owns the bucket; at sandbox scale the
-    driver owns all buckets.
+    Ownership is **partition-owned, executor-side** in both directions:
+
+    * build (``updating_scan``): admitted fingerprints are repartitioned by
+      ``_bucket`` so exactly one task holds each bucket; that task ORs the
+      new bits into its bucket's ``.npy`` (atomic tmp+rename) while passing
+      the rows through unchanged — the Bloom update rides the seen-delta
+      write job, no driver collect, no extra job.
+    * probe (``with_maybe_seen``): each task lazily loads only the bucket
+      files present in its own batches, directly from the shared store path.
+
+    Both are idempotent (bit-OR), so task retries / speculative runs are
+    safe; a crash after bucket writes but before the round's manifest commit
+    leaves a *superset* Bloom, which only sends extra candidates into the
+    exact anti-join — never admits a duplicate.
     """
 
     def __init__(self, path: str, n_buckets: int = 16, m_bits: int = 1 << 20):
@@ -84,12 +95,25 @@ class BloomSidecar:
                 self._arrays[b] = np.zeros(self.m_bits // 64, dtype=np.uint64)
         return self._arrays[b]
 
-    def save(self) -> None:
+    def ensure_meta(self) -> None:
+        """Driver-side, once: persist the bucket/bit parameters so executor
+        tasks construct byte-compatible sidecars."""
         os.makedirs(self.path, exist_ok=True)
-        with open(os.path.join(self.path, "meta.json"), "w") as f:
-            json.dump({"n_buckets": self.n_buckets, "m_bits": self.m_bits}, f)
-        for b, arr in self._arrays.items():
-            np.save(self._bucket_file(b), arr)
+        meta = os.path.join(self.path, "meta.json")
+        if not os.path.exists(meta):
+            tmp = meta + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"n_buckets": self.n_buckets, "m_bits": self.m_bits}, f)
+            os.replace(tmp, meta)
+
+    def _write_bucket(self, b: int) -> None:
+        """Atomic per-bucket write (tmp + rename); safe under task retry
+        because bit-OR updates are idempotent."""
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._bucket_file(b) + f".tmp.{os.getpid()}.{threading.get_ident()}"
+        with open(tmp, "wb") as f:
+            np.save(f, self._arrays[b])
+        os.replace(tmp, self._bucket_file(b))
 
     # -- membership ----------------------------------------------------------
 
@@ -117,35 +141,51 @@ class BloomSidecar:
     # -- DataFrame API --------------------------------------------------------
 
     def with_maybe_seen(self, df: DataFrame) -> DataFrame:
-        """Adds boolean ``_maybe_seen``; requires a ``fingerprint`` column."""
-        sidecar = self  # captured in closure; arrays ship with the task
+        """Adds boolean ``_maybe_seen``; requires a ``fingerprint`` column.
+
+        The closure captures only (path, n_buckets, m_bits) — each executor
+        task builds its own sidecar and lazily loads just the bucket files
+        its batches touch, always reading the freshest committed bits."""
+        path, n_buckets, m_bits = self.path, self.n_buckets, self.m_bits
 
         def probe(batches):
+            side = BloomSidecar(path, n_buckets, m_bits)
             for pdf in batches:
                 out = np.zeros(len(pdf), dtype=bool)
                 for b, grp in pdf.groupby("_bucket"):
-                    out[grp.index.to_numpy()] = sidecar._contains(
+                    out[grp.index.to_numpy()] = side._contains(
                         int(b), grp["_h1"].to_numpy(), grp["_h2"].to_numpy()
                     )
-                pdf = pdf.assign(_maybe_seen=out)
-                yield pdf
+                yield pdf.assign(_maybe_seen=out)
 
         hashed = _hash_cols(df, self.n_buckets)
         schema = ", ".join(f"{n} {t}" for n, t in hashed.dtypes) + ", _maybe_seen boolean"
-        # preload every bucket so the closure is self-contained on executors
-        for b in range(self.n_buckets):
-            self._load(b)
         out = hashed.mapInPandas(probe, schema=schema)
         return out.drop("_h1", "_h2", "_bucket")
 
-    def add_fingerprints(self, df: DataFrame) -> None:
-        """OR the new fingerprints' bits into the sidecar (driver-side at
-        sandbox scale; per-bucket executor writes at cluster scale)."""
-        pdf = _hash_cols(df.select("fingerprint"), self.n_buckets).select(
-            "_bucket", "_h1", "_h2"
-        ).toPandas()
-        for b, grp in pdf.groupby("_bucket"):
-            self._add(int(b), grp["_h1"].to_numpy(), grp["_h2"].to_numpy())
+    def updating_scan(self, df: DataFrame) -> DataFrame:
+        """Fuse the Bloom build into whatever job consumes ``df`` (the seen-
+        delta write): repartition by ``_bucket`` (one owner task per bucket),
+        OR the batch's bits into that bucket's ``.npy``, pass rows through
+        with the original schema. Requires a ``fingerprint`` column."""
+        self.ensure_meta()
+        path, n_buckets, m_bits = self.path, self.n_buckets, self.m_bits
+        out_schema = df.schema
+        out_cols = df.columns
+
+        def update(batches):
+            side = BloomSidecar(path, n_buckets, m_bits)
+            touched: set[int] = set()
+            for pdf in batches:
+                for b, grp in pdf.groupby("_bucket"):
+                    side._add(int(b), grp["_h1"].to_numpy(), grp["_h2"].to_numpy())
+                    touched.add(int(b))
+                yield pdf[out_cols]
+            for b in touched:
+                side._write_bucket(b)
+
+        hashed = _hash_cols(df, self.n_buckets).repartition(self.n_buckets, "_bucket")
+        return hashed.mapInPandas(update, schema=out_schema)
 
 
 def dedupe_within_round(candidates: DataFrame) -> DataFrame:

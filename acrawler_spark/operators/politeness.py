@@ -56,6 +56,38 @@ def budget_col(host, uniform: int, special: dict[str, int]):
     return F.coalesce(expr, uniform_budget)
 
 
+def global_schedule_rank(df: DataFrame, n_parts: int = 0) -> tuple[DataFrame, DataFrame]:
+    """Exact global schedule rank (1-based, frontier total order) without a
+    single-partition Window: range-partition on the sort keys, row_number
+    within each range, add per-range offsets (one tiny count job). Safe for
+    unbounded selected sets — no straggler partition at any scale.
+
+    Returns ``(ranked, cache_handle)``; the caller unpersists the handle
+    after the round's jobs finish (the cache pins the sampled range
+    boundaries so the offset map and the final plan see one partitioning).
+    """
+    keys = rank_keys()
+    n_parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    d = (
+        df.repartitionByRange(n_parts, *keys)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    w = Window.partitionBy("_pid").orderBy(*keys)
+    sizes = {r["_pid"]: r["n"] for r in d.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
+    offsets, acc = [], 0
+    for pid in sorted(sizes):
+        offsets += [F.lit(pid), F.lit(acc)]
+        acc += sizes[pid]
+    off = F.coalesce(F.create_map(*offsets)[F.col("_pid")], F.lit(0)) if offsets else F.lit(0)
+    ranked = (
+        d.withColumn("_rn", F.row_number().over(w))
+        .withColumn("rank", (F.col("_rn") + off).cast("int"))
+        .drop("_pid", "_rn")
+    )
+    return ranked, d
+
+
 def apply_host_budgets(
     eligible: DataFrame,
     uniform: int = 0,

@@ -84,17 +84,24 @@ class CheckpointStore:
     # -- write (staged; becomes visible only at commit_round) ----------------
 
     def _capped(self, df: DataFrame) -> DataFrame:
-        # repartition, NOT coalesce: coalesce would fuse into the upstream
-        # stage and collapse the whole job (join + Arrow UDF included) to
-        # `write_partitions` tasks; the shuffle boundary keeps upstream at
-        # full parallelism and only the write stage is capped
+        # AQE REBALANCE, not a fixed repartition(n): the shuffle boundary
+        # keeps upstream (join + Arrow UDF) at full parallelism while AQE
+        # right-sizes the write stage at runtime — tiny round tables
+        # coalesce to one file, the big pages delta splits to the advisory
+        # partition size. A fixed width produced `write_partitions` near-
+        # empty files per table per round, whose open/footer overhead was a
+        # serial per-round cost.
         if self.write_partitions is not None:
-            return df.repartition(self.write_partitions)
+            return df.hint("rebalance")
         return df
 
-    def write_delta(self, table: str, rnd: int, df: DataFrame) -> None:
+    def write_delta(self, table: str, rnd: int, df: DataFrame, cap: bool = True) -> None:
+        """``cap=False`` writes the DataFrame's own partitioning verbatim —
+        used when the plan is already partition-owned (e.g. the seen delta
+        rides the Bloom bucket layout)."""
         assert table in APPEND_TABLES, table
-        self._capped(df).write.mode("overwrite").parquet(self._delta_path(table, rnd))
+        d = self._capped(df) if cap else df
+        d.write.mode("overwrite").parquet(self._delta_path(table, rnd))
 
     def write_frontier(self, rnd: int, df: DataFrame) -> None:
         self._capped(df).write.mode("overwrite").parquet(self._frontier_path(rnd))
