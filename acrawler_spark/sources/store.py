@@ -83,24 +83,31 @@ class CheckpointStore:
 
     # -- write (staged; becomes visible only at commit_round) ----------------
 
-    def _capped(self, df: DataFrame) -> DataFrame:
-        # AQE REBALANCE, not a fixed repartition(n): the shuffle boundary
-        # keeps upstream (join + Arrow UDF) at full parallelism while AQE
-        # right-sizes the write stage at runtime — tiny round tables
-        # coalesce to one file, the big pages delta splits to the advisory
-        # partition size. A fixed width produced `write_partitions` near-
-        # empty files per table per round, whose open/footer overhead was a
-        # serial per-round cost.
-        if self.write_partitions is not None:
-            return df.hint("rebalance")
-        return df
+    # tables whose rows carry page text: AQE's rebalance sizes partitions by
+    # COMPRESSED shuffle bytes, and page text compresses ~50:1, so rebalance
+    # coalesces these to one fat partition and a single write task becomes
+    # the round's straggler. They keep an explicit width instead.
+    BIG_PAYLOAD = ("pages", "items")
+
+    def _capped(self, df: DataFrame, table: str | None = None) -> DataFrame:
+        if self.write_partitions is None:
+            return df
+        if table in self.BIG_PAYLOAD:
+            # repartition, NOT coalesce: the shuffle boundary keeps upstream
+            # (join + Arrow UDF) at full parallelism; only the write stage
+            # is pinned to `write_partitions`
+            return df.repartition(self.write_partitions)
+        # small/metadata tables: AQE rebalance — tiny round deltas coalesce
+        # to one file instead of `write_partitions` near-empty files whose
+        # open/footer overhead was a serial per-round cost
+        return df.hint("rebalance")
 
     def write_delta(self, table: str, rnd: int, df: DataFrame, cap: bool = True) -> None:
         """``cap=False`` writes the DataFrame's own partitioning verbatim —
         used when the plan is already partition-owned (e.g. the seen delta
         rides the Bloom bucket layout)."""
         assert table in APPEND_TABLES, table
-        d = self._capped(df) if cap else df
+        d = self._capped(df, table) if cap else df
         d.write.mode("overwrite").parquet(self._delta_path(table, rnd))
 
     def write_frontier(self, rnd: int, df: DataFrame) -> None:
