@@ -69,9 +69,12 @@ class Crawl:
         )
         return self
 
-    def handler(self, position: str, fn, priority: int = 100) -> "Crawl":
-        """@register analog (middleware.py:189-266)."""
-        self._cfg.handlers.setdefault(position, []).append((priority, fn))
+    def handler(self, position: str, fn, priority: int = 100,
+                family: str | None = None) -> "Crawl":
+        """@register analog (middleware.py:189-266); ``family`` scopes the
+        handler to matching rows (middleware.py:74-88)."""
+        entry = (priority, fn) if family is None else (priority, fn, family)
+        self._cfg.handlers.setdefault(position, []).append(entry)
         return self
 
     def config(self, **kwargs) -> "Crawl":

@@ -132,15 +132,36 @@ def try_(*fns: Transformer) -> Transformer:
 
 
 def replace(old: str, new: str, count: int = -1) -> Transformer:
-    """str.replace (processors.py:155-160). Bounded count has no builtin
-    equivalent; the reference default (-1 = all) is the supported mode."""
-    if count != -1:
-        raise NotImplementedError("replace(count != -1) needs a pandas UDF")
-    return lambda col: F.replace(col, F.lit(old), F.lit(new))
+    """str.replace (processors.py:155-160). count=-1 (replace all, the
+    reference default) is a pure JVM expression; a bounded count matches
+    Python's ``str.replace(old, new, count)`` via one Arrow-vectorized
+    pandas UDF (the only processor that needs Python, and only in this
+    mode)."""
+    count = int(count)
+    if count == -1:
+        return lambda col: F.replace(col, F.lit(old), F.lit(new))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _bounded(s):
+        return s.str.replace(old, new, n=count, regex=False)
+
+    return lambda col: _bounded(col.cast("string"))
 
 
-def to_datetime(regex: str | None = None, with_time: bool = False) -> Transformer:
-    """Extract a timestamp; NULL on miss (processors.py:162-195)."""
+def to_datetime(
+    regex: str | None = None,
+    with_time: bool = False,
+    error_drop: bool = False,
+    error_keep: bool = False,
+) -> Transformer:
+    """Extract a timestamp (processors.py:162-195). Error modes mirror the
+    reference flags: default and ``error_drop`` both yield NULL on miss (a
+    NULL field is dropped when the item map is built, == DropFieldError);
+    ``error_keep`` keeps the original string on miss — the column is then
+    string-typed, with hits rendered as ``CAST(ts AS STRING)`` (Spark
+    columns are monotyped; the reference mixes datetime and str)."""
     r = regex or (RE_DATETIME if with_time else RE_DATE)
     def t(col: Column) -> Column:
         c = F.coalesce(col.cast("string"), F.lit(""))
@@ -149,17 +170,24 @@ def to_datetime(regex: str | None = None, with_time: bool = False) -> Transforme
             ts = F.make_timestamp(g(1), g(2), g(3), g(4), g(5), g(6))
         else:
             ts = F.make_timestamp(g(1), g(2), g(3), F.lit(0), F.lit(0), F.lit(0))
+        if error_keep:
+            return F.when(c.rlike(r), ts.cast("string")).otherwise(col.cast("string"))
         return F.when(c.rlike(r), ts)
     return t
 
 
-def to_date(regex: str | None = None) -> Transformer:
-    """Extract a date; NULL on miss (processors.py:197-227)."""
+def to_date(
+    regex: str | None = None, error_drop: bool = False, error_keep: bool = False
+) -> Transformer:
+    """Extract a date; error modes as in to_datetime (processors.py:197-227)."""
     r = regex or RE_DATE
     def t(col: Column) -> Column:
         c = F.coalesce(col.cast("string"), F.lit(""))
         g = lambda i: F.regexp_extract(c, r, i).cast("int")  # noqa: E731
-        return F.when(c.rlike(r), F.make_date(g(1), g(2), g(3)))
+        d = F.make_date(g(1), g(2), g(3))
+        if error_keep:
+            return F.when(c.rlike(r), d.cast("string")).otherwise(col.cast("string"))
+        return F.when(c.rlike(r), d)
     return t
 
 
@@ -186,14 +214,39 @@ def to_int(regex: str | None = None) -> Transformer:
 # Registry + string refs ("func:arg1,arg2" — item.py:343-352)
 # ---------------------------------------------------------------------------
 
+def _map_ref(*specs) -> Transformer:
+    """String-ref form of map: ``"map:strip"`` applies the named processor
+    chain to each list element (processors.py:56-68)."""
+    return map_(chain(*specs))
+
+
+def _try_ref(*specs) -> Transformer:
+    """String-ref form of try_: ``"try_:to_int,to_float"`` — first named
+    processor yielding non-NULL (processors.py:144-153)."""
+    return try_(*[compile_spec(s) for s in specs])
+
+
+def _re_groups_ref(regex: str, n_groups, default: str | None = None) -> Transformer:
+    return re_groups(regex, int(n_groups), default)
+
+
+def _re_groupdict_ref(regex: str, *names: str) -> Transformer:
+    return re_groupdict(regex, list(names))
+
+
 REGISTRY: dict[str, Callable[..., Transformer]] = {
     "first": first,
     "strip": strip,
     "strip_list": strip_list,
+    "map": _map_ref,
     "filter": filter_,
     "drop": drop,
+    "drop_item": drop_item_flag,
     "re": re_,
+    "re_groups": _re_groups_ref,
+    "re_groupdict": _re_groupdict_ref,
     "default": default,
+    "try_": _try_ref,
     "replace": replace,
     "to_datetime": to_datetime,
     "to_date": to_date,
@@ -209,7 +262,7 @@ def register(name: str, factory: Callable[..., Transformer]) -> None:
 
 def compile_spec(spec) -> Transformer:
     """Resolve a processor spec: a Transformer, a factory name, or a
-    string-ref ``"name:arg1,arg2"`` with string args."""
+    string-ref ``"name:arg1,arg2"`` with string args (item.py:343-352)."""
     if callable(spec):
         return spec
     name, _, argstr = str(spec).partition(":")

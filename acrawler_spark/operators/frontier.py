@@ -31,6 +31,9 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("family", T.StringType(), True),
         T.StructField("ancestor", T.StringType(), True),
         T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+        # per-request allowed statuses (http.py:101): NULL -> config default;
+        # [] -> allow-all; else explicit list (http.py:270-281)
+        T.StructField("status_allowed", T.ArrayType(T.IntegerType()), True),
         T.StructField("discovered_round", T.IntegerType(), False),
         T.StructField("discovery_idx", T.LongType(), False),
     ]
@@ -51,7 +54,7 @@ def _with_url_identity(df: DataFrame) -> DataFrame:
 
 def seeds_frontier(
     spark: SparkSession,
-    seeds: list[str],
+    seeds: list,
     t0: float,
     priority: int = 0,
     recrawl: int = 0,
@@ -59,22 +62,35 @@ def seeds_frontier(
 ) -> DataFrame:
     """Round-0 frontier from start_urls (reference crawler.py:295-302).
 
+    Each seed is a plain url string or a dict of per-Request fields
+    (http.py:99-105): ``{"url": ..., "method": "POST", "priority": 2,
+    "status_allowed": [503], "family": ..., "recrawl": s, "meta": {...}}``.
     Seed exetime = init_time = t0 (task.py:73-79); ancestor = own
     fingerprint (crawler.py:341-364: tasks without a parent group by their
     own fp)."""
-    rows = [(u, i) for i, u in enumerate(seeds)]
-    df = spark.createDataFrame(rows, ["url", "seed_idx"]).withColumn("method", F.lit("GET"))
+    rows = []
+    for i, s in enumerate(seeds):
+        s = {"url": s} if isinstance(s, str) else dict(s)
+        rows.append(
+            (
+                s["url"], i, s.get("method", "GET"),
+                int(s.get("priority", priority)), int(s.get("recrawl", recrawl)),
+                s.get("status_allowed"), s.get("family", family),
+                {str(k): str(v) for k, v in (s.get("meta") or {}).items()},
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "url string, seed_idx long, method string, priority int, recrawl long, "
+        "status_allowed array<int>, family string, meta map<string,string>",
+    )
     df = _with_url_identity(df)
     df = (
-        df.withColumn("priority", F.lit(priority).cast("int"))
-        .withColumn("exetime", F.lit(float(t0)))
+        df.withColumn("exetime", F.lit(float(t0)))
         .withColumn("tries", F.lit(0))
-        .withColumn("recrawl", F.lit(recrawl).cast("long"))
         .withColumn("depth", F.lit(0))
         .withColumn("dont_filter", F.lit(False))
-        .withColumn("family", F.lit(family))
         .withColumn("ancestor", F.col("fingerprint"))
-        .withColumn("meta", F.create_map().cast("map<string,string>"))
         .withColumn("discovered_round", F.lit(-1))
         .withColumn("discovery_idx", F.col("seed_idx").cast("long"))
     )
@@ -125,6 +141,9 @@ def candidates_from_links(
         F.lit("Request").alias("family"),
         "ancestor",
         "meta",
+        # followed links are fresh Requests with default per-request config
+        # (parser.py:97) — allowed statuses fall back to the crawl config
+        F.lit(None).cast("array<int>").alias("status_allowed"),
         F.lit(rnd).alias("discovered_round"),
         (F.col("rank").cast("long") * F.lit(1_000_000) + F.col("pos")).alias("discovery_idx"),
     )

@@ -118,11 +118,26 @@ class CrawlEngine:
     def _apply_handlers(self, position: str, df: DataFrame, rnd: int) -> DataFrame:
         """Run registered pipeline-stage handlers (middleware.py:129-137
         positions; priority-descending order, 0 disables —
-        middleware.py:268-276)."""
-        for prio, fn in sorted(self.cfg.handlers.get(position, []), key=lambda x: -x[0]):
+        middleware.py:268-276).
+
+        Entries are ``(priority, fn)`` or ``(priority, fn, family)``. A
+        family-scoped handler fires only on rows whose ``family`` matches
+        (reference middleware.py:74-88: handler.family in task.families);
+        non-matching rows pass through untouched, so two item families never
+        cross-contaminate middleware. Scoped handlers must preserve the
+        input schema (the branches are re-unioned by name)."""
+        for entry in sorted(self.cfg.handlers.get(position, []), key=lambda x: -x[0]):
+            prio, fn, family = entry if len(entry) == 3 else (*entry, None)
             if prio == 0:
                 continue
-            df = fn(df, {"round": rnd, "config": self.cfg})
+            ctx = {"round": rnd, "config": self.cfg}
+            if family is None:
+                df = fn(df, ctx)
+            else:
+                match = F.coalesce(F.col("family") == F.lit(family), F.lit(False))
+                df = fn(df.filter(match), ctx).unionByName(
+                    df.filter(~match), allowMissingColumns=True
+                )
         return df
 
     # -- bootstrap ------------------------------------------------------------
@@ -137,6 +152,9 @@ class CrawlEngine:
         from acrawler_spark.operators.dedup import dedupe_within_round
 
         seeds = dedupe_within_round(seeds)
+        # position 0 = on_start (middleware.py:129-137): transform the seed
+        # frontier before the round-0 commit
+        seeds = self._apply_handlers("on_start", seeds, 0)
         obs = Observation()
         seeds = seeds.observe(
             obs, F.count(F.lit(1)).alias("n"), F.min("exetime").alias("min_exetime")
@@ -229,30 +247,76 @@ class CrawlEngine:
                 "rank", F.monotonically_increasing_id().cast("long")
             )
 
-        # fetch = left join corpus on the canonical url (SURVEY §2.1)
-        fetched = selected_ranked.join(
-            corpus.withColumnRenamed("url", "c_url"),
-            F.col("url_canon") == F.col("c_url"),
-            "left",
-        ).withColumn(
-            "status", F.when(F.col("c_url").isNotNull(), F.lit(200)).otherwise(F.lit(404))
-        )
-        if cfg.status_allowed is None:
-            ok_col = F.col("status") == 200
-        elif cfg.status_allowed == []:
-            ok_col = F.lit(True)
+        # fetch = left join corpus on the canonical url (SURVEY §2.1),
+        # honoring the request method (http.py:100, fingerprint http.py:142):
+        # a corpus with a `method` column joins on (url, method); otherwise
+        # its rows are GET resources and non-GET requests miss
+        right = corpus.withColumnRenamed("url", "c_url")
+        if "method" in corpus.columns:
+            right = right.withColumnRenamed("method", "c_method")
+            cond = (F.col("url_canon") == F.col("c_url")) & (
+                F.col("method") == F.col("c_method")
+            )
         else:
-            ok_col = (F.col("status") == 200) | F.col("status").isin(cfg.status_allowed)
+            cond = (F.col("url_canon") == F.col("c_url")) & (F.col("method") == "GET")
+        # optional corpus `status` column: a hit may carry a non-200 response
+        # status (e.g. a 503 page with a body); a miss is always 404
+        if "status" in corpus.columns:
+            right = right.withColumnRenamed("status", "c_status")
+            hit_status = F.coalesce(F.col("c_status").cast("int"), F.lit(200))
+        else:
+            hit_status = F.lit(200)
+        fetched = selected_ranked.join(right, cond, "left").withColumn(
+            "status", F.when(F.col("c_url").isNotNull(), hit_status).otherwise(F.lit(404))
+        )
+        # ok (http.py:270-281): status==200 OR allowed==[] OR status IN
+        # allowed; the per-request status_allowed column overrides the crawl
+        # config (NULL -> config default). A corpus miss is a fetch
+        # exception, not a status — never ok.
+        if cfg.status_allowed is None:
+            cfg_ok = F.col("status") == 200
+        elif cfg.status_allowed == []:
+            cfg_ok = F.lit(True)
+        else:
+            cfg_ok = (F.col("status") == 200) | F.col("status").isin(cfg.status_allowed)
+        row_ok = (
+            (F.col("status") == 200)
+            | (F.size("status_allowed") == 0)
+            | F.array_contains(F.col("status_allowed"), F.col("status"))
+        )
+        ok_col = F.when(F.col("status_allowed").isNotNull(), row_ok).otherwise(cfg_ok)
         fetched = fetched.withColumn("ok", ok_col & F.col("c_url").isNotNull())
         fetched = fetched.withColumn("tries_done", F.col("tries") + 1)
 
-        # handler middleware, position 1 = before execution (task.py:137-139)
+        # handler middleware, position 1 = before execution (task.py:137-139).
+        # Control-flow exceptions are columnar flags a handler may set
+        # (exceptions.py:1-43):
+        #   _skip     -> SkipTaskError: no parse/items/links, counted success
+        #   _defer_s  -> ReScheduleError(defer): re-enqueued at now+defer_s,
+        #                dont_filter, tries kept incremented (task.py:120 —
+        #                the increment precedes the raise), NOT counted
         fetched = self._apply_handlers("before_parse", fetched, rnd)
+        defer_col = (
+            F.coalesce(F.col("_defer_s").cast("double"), F.lit(0.0))
+            if "_defer_s" in fetched.columns
+            else F.lit(0.0)
+        )
+        skip_col = (
+            F.coalesce(F.col("_skip").cast("boolean"), F.lit(False))
+            if "_skip" in fetched.columns
+            else F.lit(False)
+        )
+        fetched = fetched.withColumn("defer_s", defer_col).withColumn("skipped", skip_col)
+        # skipped rows count as success (crawler.py:85-86 + counter flag 1);
+        # deferred rows are neither success nor failure (flag -2)
+        fetched = fetched.withColumn(
+            "ok", (F.col("ok") | F.col("skipped")) & (F.col("defer_s") <= 0)
+        )
 
-        # parse gate: only ok pages matching in_pattern are parsed
+        # parse gate: only ok, unskipped pages matching in_pattern are parsed
         # (parser.py:62-73); masked JVM-side by nulling html so the Arrow
         # UDF sees one batch stream and skips gated rows for free
-        parse_gate = F.col("ok")
+        parse_gate = F.col("ok") & ~F.col("skipped")
         if cfg.in_pattern:
             parse_gate = parse_gate & F.col("url_canon").rlike(cfg.in_pattern)
 
@@ -267,6 +331,8 @@ class CrawlEngine:
             "rank",
             "status",
             "ok",
+            "defer_s",
+            "skipped",
             "tries_done",
             "lang",
             F.coalesce(F.length("html"), F.lit(0)).cast("long").alias("bytes"),
@@ -287,15 +353,21 @@ class CrawlEngine:
             F.count(F.lit(1)).alias("n_selected"),
             F.sum(F.col("ok").cast("long")).alias("n_ok"),
             F.sum(
-                (~F.col("ok") & (F.col("tries_done") > cfg.max_tries)).cast("long")
+                (
+                    ~F.col("ok")
+                    & (F.col("defer_s") <= 0)
+                    & (F.col("tries_done") > cfg.max_tries)
+                ).cast("long")
             ).alias("n_failed"),
+            F.sum((F.col("defer_s") > 0).cast("long")).alias("n_defer_user"),
         )
         self.store.write_delta("pages", rnd, pages_staged)
         pstats = obs_pages.get
         n_selected = int(pstats["n_selected"] or 0)
         n_ok = int(pstats["n_ok"] or 0)
         n_failed_final = int(pstats["n_failed"] or 0)
-        n_retries = n_selected - n_ok - n_failed_final
+        n_defer_user = int(pstats["n_defer_user"] or 0)
+        n_retries = n_selected - n_ok - n_failed_final - n_defer_user
         tick("pages_stage")
         pages = self.store.read_delta_one("pages", rnd)
         # position 2 = after execution (task.py:144-147)
@@ -358,20 +430,32 @@ class CrawlEngine:
             admitted = self.spark.createDataFrame([], FRONTIER_SCHEMA).persist()
 
         # retry branch (crawler.py:98-114): failed & tries_done <= max_tries
+        hard_fail = ~F.col("ok") & (F.col("defer_s") <= 0)
         retries = (
-            pages.filter(~F.col("ok") & (F.col("tries_done") <= cfg.max_tries))
+            pages.filter(hard_fail & (F.col("tries_done") <= cfg.max_tries))
             .select(*frontier.columns)
             .withColumn("tries", F.col("tries") + 1)
             .withColumn("exetime", F.lit(now))
             .withColumn("dont_filter", F.lit(True))
         )
         failed = (
-            pages.filter(~F.col("ok") & (F.col("tries_done") > cfg.max_tries))
+            pages.filter(hard_fail & (F.col("tries_done") > cfg.max_tries))
             .select(
                 "url", "url_canon", "fingerprint", "host",
                 F.col("tries_done").alias("tries"), "status",
                 F.lit(rnd).alias("round"),
             )
+        )
+        # user defer branch (ReScheduleError, exceptions.py:23-43 +
+        # crawler.py:87-97): re-enqueued unfiltered at now+defer_s, tries
+        # kept at the incremented value, uncounted (flag -2)
+        deferred_user = (
+            pages.filter(F.col("defer_s") > 0)
+            .select(*frontier.columns, "defer_s", "tries_done")
+            .withColumn("tries", F.col("tries_done"))
+            .withColumn("exetime", F.lit(now) + F.col("defer_s"))
+            .withColumn("dont_filter", F.lit(True))
+            .select(*frontier.columns)
         )
         # recrawl branch (crawler.py:122-126): success & recrawl>0 re-enqueues
         # with tries=0, exetime=last_crawl+recrawl, dont_filter
@@ -440,6 +524,7 @@ class CrawlEngine:
             remaining.select(*frontier.columns)
             .unionByName(retries.select(*frontier.columns))
             .unionByName(recrawls.select(*frontier.columns))
+            .unionByName(deferred_user.select(*frontier.columns))
             .unionByName(admitted.select(*frontier.columns))
         )
         obs_frontier = Observation()
@@ -451,9 +536,13 @@ class CrawlEngine:
         )
         self.store.write_frontier(rnd, new_frontier)
         fstats = obs_frontier.get
-        # rows still due right now = deferred + retries + admitted (all three
-        # carry exetime == now; recrawls/ineligible are strictly future)
-        n_deferred = int(fstats["n_due_now"] or 0) - n_retries - n_admitted
+        # rows still due right now = politeness-deferred + retries + admitted
+        # (all three carry exetime == now; recrawls, user-deferred and
+        # ineligible rows are strictly future). Reported "deferred" folds in
+        # user defers — both are counter flag -2 in the reference.
+        n_deferred = (
+            int(fstats["n_due_now"] or 0) - n_retries - n_admitted + n_defer_user
+        )
         tick("frontier_write")
 
         # per-partition lineage (north rule) — gated: it is observability,
@@ -566,4 +655,10 @@ class CrawlEngine:
             history.append(self.run_round(rnd, corpus))
             rnd += 1
         self.flush_metrics()
+        # position 3 = on_close (middleware.py:129-137): sink flush hooks;
+        # called with the committed store (not a row DataFrame)
+        for entry in sorted(cfg.handlers.get("on_close", []), key=lambda x: -x[0]):
+            prio, fn = entry[0], entry[1]
+            if prio != 0:
+                fn(self.store, {"round": self.store.last_round, "config": cfg})
         return history

@@ -29,6 +29,8 @@ class OracleTask:
     depth: int = 0
     dont_filter: bool = False
     discovery_idx: int = 0
+    method: str = "GET"
+    status_allowed: list | None = None  # per-Request (http.py:101)
 
     @property
     def url_canon(self) -> str:
@@ -36,7 +38,7 @@ class OracleTask:
 
     @property
     def fingerprint(self) -> str:
-        return kernel.fingerprint(self.url)
+        return kernel.fingerprint(self.url, self.method)
 
     @property
     def host(self) -> str:
@@ -72,6 +74,9 @@ class OracleCrawl:
         seed_recrawl: int = 0,
         max_depth: int | None = None,
         links_to_abs: bool = True,
+        status_allowed: list | None = None,
+        defer_rule=None,  # fn(url_canon, tries) -> defer seconds (0 = none)
+        skip_rule=None,  # fn(url_canon) -> bool (SkipTaskError)
     ):
         self.corpus = {r["url"]: r for r in corpus_rows}
         self.follow_patterns = follow_patterns
@@ -83,13 +88,25 @@ class OracleCrawl:
         self.round_seconds = round_seconds
         self.max_depth = max_depth
         self.links_to_abs = links_to_abs
+        self.status_allowed = status_allowed
+        self.defer_rule = defer_rule
+        self.skip_rule = skip_rule
 
         self.res = OracleResult()
         self.frontier: list[OracleTask] = []
         # bootstrap == engine.bootstrap(): admit seeds, seen at schedule time
         idx = 0
-        for i, u in enumerate(seeds):
-            t = OracleTask(url=u, exetime=t0, recrawl=seed_recrawl, discovery_idx=i)
+        for i, s in enumerate(seeds):
+            s = {"url": s} if isinstance(s, str) else dict(s)
+            t = OracleTask(
+                url=s["url"],
+                exetime=t0,
+                priority=int(s.get("priority", 0)),
+                recrawl=int(s.get("recrawl", seed_recrawl)),
+                method=s.get("method", "GET"),
+                status_allowed=s.get("status_allowed"),
+                discovery_idx=i,
+            )
             if t.fingerprint in self.res.seen:
                 continue
             self.res.seen.add(t.fingerprint)
@@ -123,12 +140,37 @@ class OracleCrawl:
 
         retries: list[OracleTask] = []
         recrawls: list[OracleTask] = []
+        deferred_user: list[OracleTask] = []
         candidates: list[OracleTask] = []
         n_ok = n_failed = 0
         for rank, t in enumerate(selected, start=1):
-            page = self.corpus.get(t.url_canon)
             tries_done = t.tries + 1
-            if page is None:  # 404
+            # handler control flow (exceptions.py:23-43): ReScheduleError —
+            # re-enqueued at now+defer, tries kept incremented, uncounted
+            if self.defer_rule:
+                d = self.defer_rule(t.url_canon, t.tries)
+                if d and d > 0:
+                    deferred_user.append(
+                        replace(t, tries=tries_done, exetime=now + d, dont_filter=True)
+                    )
+                    continue
+            # SkipTaskError: counted success, no parse/items/links
+            if self.skip_rule and self.skip_rule(t.url_canon):
+                n_ok += 1
+                if t.recrawl > 0:
+                    recrawls.append(
+                        replace(t, tries=0, exetime=now + t.recrawl, dont_filter=True)
+                    )
+                continue
+            page = self.corpus.get(t.url_canon) if t.method == "GET" else None
+            status = int(page.get("status", 200)) if page is not None else 404
+            allowed = (
+                t.status_allowed if t.status_allowed is not None else self.status_allowed
+            )
+            resp_ok = page is not None and (
+                status == 200 or allowed == [] or (allowed is not None and status in allowed)
+            )
+            if not resp_ok:  # miss or disallowed status -> retry lifecycle
                 if tries_done <= self.max_tries:
                     retries.append(
                         replace(t, tries=tries_done, exetime=now, dont_filter=True)
@@ -170,13 +212,14 @@ class OracleCrawl:
             self.res.seen.add(fp)
             admitted.append(c)
 
-        self.frontier = rest + deferred + retries + recrawls + admitted
+        self.frontier = rest + deferred + retries + recrawls + deferred_user + admitted
         stats = {
             "round": rnd,
             "selected": len(selected),
             "ok": n_ok,
             "admitted": len(admitted),
-            "deferred": len(deferred),
+            # user defers fold into "deferred" — both are flag -2 rescheduled
+            "deferred": len(deferred) + len(deferred_user),
             "retried": len(retries),
             "failed": n_failed,
         }
