@@ -128,11 +128,15 @@ def q_frontier_rank(spark, sf_dir):
         (F.col("event_id") % 3).cast("int").alias("priority"),
         (F.col("event_id") % 100).cast("double").alias("exetime"),
     )
-    w = Window.orderBy(F.col("priority").desc(), F.col("exetime").asc(), F.col("event_id").asc())
+    keys = [F.col("priority").desc(), F.col("exetime").asc(), F.col("event_id").asc()]
+    # top-k first (TakeOrderedAndProject — distributed, no global sort),
+    # then rank within the bounded 100-row set; never a full-table
+    # single-partition WindowExec
+    top = ev.orderBy(*keys).limit(100)
+    w = Window.partitionBy(F.lit(0)).orderBy(*keys)
     return (
-        ev.withColumn("score", F.col("priority") * F.lit(1e10) - F.col("exetime"))
+        top.withColumn("score", F.col("priority") * F.lit(1e10) - F.col("exetime"))
         .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 100)
         .select("event_id", "priority", "exetime", "score", "rank")
     )
 
@@ -554,6 +558,61 @@ FROM events GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Multimodal binary columns (operators/multimodal.py): JVM-side metadata
+# over opaque payloads + frame-sampling explode shape. Payloads are derived
+# deterministically from documents.text so both engines hash the same bytes.
+# ---------------------------------------------------------------------------
+
+def q_media_metadata(spark, sf_dir):
+    from acrawler_spark.operators.multimodal import attach_media_metadata
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return attach_media_metadata(docs, "payload", kind="image").select(
+        "media_id", "kind", "n_bytes", "checksum"
+    )
+
+
+SQL_MEDIA_METADATA = """
+SELECT doc_id AS media_id,
+       'image' AS kind,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS checksum
+FROM documents
+"""
+
+
+def q_media_frame_sample(spark, sf_dir):
+    from acrawler_spark.operators.multimodal import frame_sample
+
+    # ascii-sanitized payload: byte offsets == char offsets in both engines
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.regexp_replace("text", r"[^\x20-\x7e]", ""), "utf-8").alias("payload"),
+    )
+    return frame_sample(docs, every_n=2).select(
+        "media_id", "frame_idx", F.length("frame").alias("frame_len")
+    )
+
+
+SQL_MEDIA_FRAME_SAMPLE = r"""
+WITH a AS (
+  SELECT doc_id AS media_id, regexp_replace(text, '[^\x20-\x7e]', '', 'g') AS s
+  FROM documents
+),
+f AS (
+  SELECT media_id, i AS frame_idx, strlen(substr(s, (i * 1024 + 1)::BIGINT, 1024)) AS frame_len
+  FROM a, unnest(range(0, (strlen(s) // 1024) + 1)) AS t(i)
+)
+SELECT media_id, frame_idx::INT AS frame_idx, frame_len::INT AS frame_len
+FROM f
+WHERE frame_idx % 2 = 0 AND frame_len > 0
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql or None)
     "url_canonicalize": (q_url_canonicalize, SQL_URL_CANONICALIZE),
@@ -573,4 +632,6 @@ REGISTRY: dict[str, tuple] = {
     "ancestor_rollup": (q_ancestor_rollup, SQL_ANCESTOR_ROLLUP),
     "skip_if_exists": (q_skip_if_exists, SQL_SKIP_IF_EXISTS),
     "upsert_last_wins": (q_upsert_last_wins, SQL_UPSERT_LAST_WINS),
+    "media_metadata": (q_media_metadata, SQL_MEDIA_METADATA),
+    "media_frame_sample": (q_media_frame_sample, SQL_MEDIA_FRAME_SAMPLE),
 }

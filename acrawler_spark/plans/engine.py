@@ -39,6 +39,7 @@ from acrawler_spark.operators.politeness import (
     global_schedule_rank,
     rank_keys,
 )
+from acrawler_spark.plans.views import fetch_log_view, items_view
 from acrawler_spark.sources.store import CheckpointStore
 
 
@@ -344,6 +345,16 @@ class CrawlEngine:
             F.col("parsed.text").alias("text"),
             F.col("parsed.links").alias("links"),
         ).drop("parsed").withColumn("round", F.lit(rnd))
+        # position 2 = after execution (task.py:144-147) — applied before
+        # staging, so the written pages delta is the canonical
+        # post-middleware page state and the virtual items/fetch_log/failed
+        # views (plans/views.py) see handler effects
+        pages_staged = self._apply_handlers("after_parse", pages_staged, rnd)
+        # terminal-failure flag materialized so the failed view is config-free
+        pages_staged = pages_staged.withColumn(
+            "final_fail",
+            ~F.col("ok") & (F.col("defer_s") <= 0) & (F.col("tries_done") > cfg.max_tries),
+        )
         # round counters ride the staging job via observe() — no separate
         # aggregation job (VERDICT r1: per-round driver-job count was the
         # scaling-efficiency floor)
@@ -352,13 +363,7 @@ class CrawlEngine:
             obs_pages,
             F.count(F.lit(1)).alias("n_selected"),
             F.sum(F.col("ok").cast("long")).alias("n_ok"),
-            F.sum(
-                (
-                    ~F.col("ok")
-                    & (F.col("defer_s") <= 0)
-                    & (F.col("tries_done") > cfg.max_tries)
-                ).cast("long")
-            ).alias("n_failed"),
+            F.sum(F.col("final_fail").cast("long")).alias("n_failed"),
             F.sum((F.col("defer_s") > 0).cast("long")).alias("n_defer_user"),
         )
         self.store.write_delta("pages", rnd, pages_staged)
@@ -370,48 +375,30 @@ class CrawlEngine:
         n_retries = n_selected - n_ok - n_failed_final - n_defer_user
         tick("pages_stage")
         pages = self.store.read_delta_one("pages", rnd)
-        # position 2 = after execution (task.py:144-147)
-        pages = self._apply_handlers("after_parse", pages, rnd)
 
-        items = pages.filter(F.col("ok") & F.col("text").isNotNull()).select(
-            F.col("url_canon").alias("url"),
-            F.col("family"),
-            F.col("text").alias("extracted_text"),
-            F.col("lang"),
-            F.col("depth"),
-            F.lit(rnd).alias("round"),
-            F.lit(None).cast("map<string,string>").alias("content"),
-        )
-        # item-rule families (ParselItem equivalents): extracted in the same
-        # round, appended to the same items table keyed by family
+        # items / fetch_log / failed are VIRTUAL — projections of the pages
+        # delta served by the store (plans/views.py); nothing to write.
+        # Only ItemSpec extractions (per-family ParselItem analogs) produce
+        # physical items rows.
+        base_items = items_view(pages)
+        spec_items_all = None
         for spec in cfg.item_specs:
-            src = items.select("url", "extracted_text", "lang", "depth", "round")
+            src = base_items.select("url", "extracted_text", "lang", "depth", "round")
             if spec.url_pattern:
                 src = src.filter(F.col("url").rlike(spec.url_pattern))
             spec_items = spec.extract(src).join(
                 src.select("url", "lang", "depth"), "url", "left"
             )
-            items = items.unionByName(
-                spec_items.select(
-                    "url", "family",
-                    F.lit(None).cast("string").alias("extracted_text"),
-                    "lang", "depth", F.lit(rnd).alias("round"), "content",
-                )
+            spec_items = spec_items.select(
+                "url", "family",
+                F.lit(None).cast("string").alias("extracted_text"),
+                "lang", "depth", F.lit(rnd).alias("round"), "content",
             )
-
-        fetch_log = pages.select(
-            "url",
-            "url_canon",
-            "fingerprint",
-            "round",
-            "rank",
-            "status",
-            "ok",
-            F.col("tries_done").alias("tries"),
-            "host",
-            "bytes",
-            F.when(~F.col("ok"), F.concat(F.lit("<"), F.col("status"), F.lit(">"))).alias("error"),
-        )
+            spec_items_all = (
+                spec_items
+                if spec_items_all is None
+                else spec_items_all.unionByName(spec_items)
+            )
 
         # follow links (only when configured — parser.py:86); follow_limit
         # caps links per page (paginate/follow limit, http.py:387-435)
@@ -438,14 +425,6 @@ class CrawlEngine:
             .withColumn("exetime", F.lit(now))
             .withColumn("dont_filter", F.lit(True))
         )
-        failed = (
-            pages.filter(hard_fail & (F.col("tries_done") > cfg.max_tries))
-            .select(
-                "url", "url_canon", "fingerprint", "host",
-                F.col("tries_done").alias("tries"), "status",
-                F.lit(rnd).alias("round"),
-            )
-        )
         # user defer branch (ReScheduleError, exceptions.py:23-43 +
         # crawler.py:87-97): re-enqueued unfiltered at now+defer_s, tries
         # kept at the incremented value, uncounted (flag -2)
@@ -468,16 +447,14 @@ class CrawlEngine:
         )
 
         # -- commit (staged writes, then atomic manifest bump) ----------------
-        # Per-round job budget (VERDICT r1 scaling fix): exactly five Spark
-        # jobs in the steady state — pages stage, items, fetch_log, seen
-        # (+Bloom fused), frontier — every counter rides a write via
-        # observe(); nothing is counted with a standalone action.
-        self.store.write_delta("items", rnd, items)
-        tick("items_write")
-        self.store.write_delta("fetch_log", rnd, fetch_log)
-        if n_failed_final > 0:
-            self.store.write_delta("failed", rnd, failed)
-        tick("log_writes")
+        # Per-round job budget (VERDICT r1 scaling fix): exactly THREE Spark
+        # jobs in the steady state — pages stage, seen (+Bloom fused),
+        # frontier. items/fetch_log/failed are virtual projections of the
+        # pages delta; every counter rides a write via observe(); nothing is
+        # counted with a standalone action.
+        if spec_items_all is not None:
+            self.store.write_delta("items", rnd, spec_items_all)
+            tick("items_write")
 
         # seen delta + Bloom maintenance fused into one write job; the
         # admitted cache materializes here and is reused by the frontier
@@ -550,7 +527,8 @@ class CrawlEngine:
         # materialized once per crawl by flush_metrics().
         if cfg.detailed_metrics:
             lineage = (
-                fetch_log.groupBy(F.spark_partition_id().alias("partition_id"))
+                fetch_log_view(pages)
+                .groupBy(F.spark_partition_id().alias("partition_id"))
                 .agg(
                     F.count("*").alias("n_rows"),
                     F.sum(F.col("ok").cast("long")).alias("n_ok"),

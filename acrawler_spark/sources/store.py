@@ -144,7 +144,28 @@ class CheckpointStore:
     def read_appended(self, table: str, upto_round: int | None = None) -> DataFrame | None:
         """Union of committed deltas (plus the latest compacted base, if
         any). At Iceberg scale this is a single partitioned-table scan;
-        here an explicit multi-path parquet read."""
+        here an explicit multi-path parquet read.
+
+        ``items`` / ``fetch_log`` / ``failed`` are **virtual**: projections
+        of the pages deltas (plans/views.py), unioned with any physical
+        deltas of the same name (ItemSpec extractions). They cost zero
+        write jobs per round and read only their projected columns."""
+        from acrawler_spark.plans.views import VIRTUAL_TABLES
+
+        if table in VIRTUAL_TABLES:
+            base = self.read_appended("pages", upto_round)
+            virtual = VIRTUAL_TABLES[table](base) if base is not None else None
+            physical = self._read_appended_physical(table, upto_round)
+            if virtual is None:
+                return physical
+            if physical is None:
+                return virtual
+            return virtual.unionByName(physical, allowMissingColumns=True)
+        return self._read_appended_physical(table, upto_round)
+
+    def _read_appended_physical(
+        self, table: str, upto_round: int | None = None
+    ) -> DataFrame | None:
         upto = self.last_round if upto_round is None else upto_round
         m = self.read_manifest()
         base_round = m.get("compacted", {}).get(table, -1)
