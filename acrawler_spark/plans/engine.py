@@ -6,13 +6,20 @@ task (crawler.py:61-136), quantized to a logical clock:
     read frontier -> filter(exetime <= now)                 [eligibility]
     -> per-host budget Window (salted)                      [politeness]
     -> global round cap (TakeOrderedAndProject)             [MAX_REQUESTS]
-    -> left join corpus on url_canon                        [fetch]
+    -> left join corpus on (url_canon, method)              [fetch]
+    -> handler middleware (family-scoped), skip/defer flags [middleware]
     -> Arrow UDF: decode + absolutize + links               [parse]
     -> explode links -> canonicalize+fingerprint (JVM)      [follow]
     -> within-round dedup + Bloom + anti-join seen          [dupefilter]
-    -> retry / recrawl branches                             [lifecycle]
-    -> commit frontier' / seen+ / items+ / fetch_log+ /
-       metrics+ / lineage+ as one snapshot                  [persistence]
+    -> retry / recrawl / defer branches                     [lifecycle]
+    -> commit as one snapshot                               [persistence]
+
+Steady-state round = exactly THREE Spark jobs: (1) pages stage (fetch join
++ parse + counters via observe), (2) seen delta with the Bloom build fused
+into its write, (3) frontier rewrite as a broadcast anti-join (windows run
+once) carrying next-round due stats in the manifest. items / fetch_log /
+failed are virtual projections of the pages delta (plans/views.py);
+metrics materialize once per crawl from the manifest.
 
 Determinism contract (tests/oracle.py mirrors it 1:1): logical clock
 now = t0 + round; total order (priority DESC, exetime ASC, fingerprint ASC);

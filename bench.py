@@ -79,6 +79,10 @@ def run_crawl(spark, sf_dir: str, cpus: int) -> dict:
     n_hosts = 32
     mult = int(os.environ.get("SPARK_GRAFT_CORPUS_MULT", "8"))
     body_repeat = int(os.environ.get("SPARK_GRAFT_BODY_REPEAT", "64"))
+    # fanout 8 -> ~6 BFS rounds at sf0.1 with thousands of URLs each: the
+    # large-round regime a 10^10-URL frontier always operates in. (Deep
+    # skinny trees measure warm-up artifacts, not steady-state scaling.)
+    fanout = int(os.environ.get("SPARK_GRAFT_FANOUT", "8"))
     # materialize the derived corpus to parquet and re-read: the engine then
     # joins against a clean file scan (the at-scale shape — corpus IS a
     # table), not a giant generator expression tree that Spark's eager
@@ -89,7 +93,7 @@ def run_crawl(spark, sf_dir: str, cpus: int) -> dict:
     # explicit file layout the whole corpus lands in one scan split and the
     # fetch-join + parse UDF run on a single task
     corpus_from_documents(
-        spark, sf_dir, n_hosts=n_hosts, fanout=4, multiplier=mult,
+        spark, sf_dir, n_hosts=n_hosts, fanout=fanout, multiplier=mult,
         body_repeat=body_repeat,
     ).repartition(max(64, cpus * 4), "url").write.mode("overwrite").parquet(corpus_dir)
     corpus = spark.read.parquet(corpus_dir)
@@ -171,8 +175,12 @@ def run_parse_probe(spark, sf_dir: str) -> float:
 
 
 def run_all(cpus: int) -> dict:
-    """Best-of-REPS crawl + parse probe at one parallelism level."""
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
+    """Best-of-REPS crawl + parse probe at one parallelism level.
+
+    Default 2 reps: this host is a shared microVM with bursty hypervisor
+    steal (observed phases with >30% steal); best-of-2 keeps one noisy
+    burst from deciding the recorded efficiency."""
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     spark = _spark(cpus)
     steal0 = _steal_jiffies()
     runs = [run_crawl(spark, SF_DIR, cpus) for _ in range(reps)]

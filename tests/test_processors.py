@@ -92,3 +92,36 @@ def test_re_groupdict(spark):
     out = _apply(spark, t, ["a 12-34 b", "zz"])
     assert out[0] == {"lo": "12", "hi": "34"}
     assert out[1] is None
+
+
+def test_replace_bounded_count(spark):
+    # processors.py:155-160: str.replace(old, new, count) — bounded count
+    # replaces only the first N occurrences (pandas-UDF path)
+    assert _apply(spark, P.replace("a", "o", 2), ["banana", None]) == ["bonona", None]
+    assert _apply(spark, P.replace("aa", "x", 1), ["aaaa"]) == ["xaa"]
+
+
+def test_string_ref_registry_complete(spark):
+    # every reference processor resolves by name (processors.py:12-24)
+    for name in ["first", "strip", "map", "filter", "drop", "drop_item", "re",
+                 "re_groups", "re_groupdict", "default", "try_", "replace",
+                 "to_datetime", "to_date", "to_float", "to_int"]:
+        assert name in P.REGISTRY, name
+    # nested string refs: map over a named processor, try_ over two
+    t = P.compile_spec("map:strip")
+    df = spark.createDataFrame([(["  a ", " b"],)], "v array<string>")
+    assert [r.out for r in df.select(t(F.col("v")).alias("out")).collect()] == [["a", "b"]]
+    t2 = P.compile_spec("try_:to_int")
+    assert _apply(spark, t2, ["n 5"]) == [5]
+    t3 = P.compile_spec("replace:a,o,1")
+    assert _apply(spark, t3, ["banana"]) == ["bonana"]
+    t4 = P.compile_spec("re_groups:(\\d+)-(\\d+),2")
+    assert _apply(spark, t4, ["4-5"]) == [["4", "5"]]
+
+
+def test_to_date_error_keep(spark):
+    # error_keep: original string kept on miss; hits rendered as CAST(date)
+    t = P.to_date(error_keep=True)
+    assert _apply(spark, t, ["2020-01-02", "no date here"]) == [
+        "2020-01-02", "no date here",
+    ]
