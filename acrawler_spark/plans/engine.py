@@ -80,6 +80,12 @@ class CrawlConfig:
     detailed_metrics: bool = True  # count deferred rows per round (extra job)
     seeds_inbox: str | None = None  # drop-dir seed ingestion (redis feeder analog)
     robots_rules: dict | None = None  # {host: {"disallow": [...], "crawl_delay": s}}
+    # corpus bucket layout (Iceberg bucket(url) analog): when set and the
+    # corpus carries a `bucket` partition column == pmod(xxhash64(url), n),
+    # the fetch join adds the bucket equi-condition so dynamic partition
+    # pruning skips every corpus partition the round doesn't touch — small
+    # rounds stop paying a full corpus scan
+    corpus_bucket_n: int | None = None
     in_pattern: str | None = None  # parse gate by response url (parser.py:62-73)
     follow_limit: int | None = None  # max followed links per page (http.py:387-435)
     item_specs: list = field(default_factory=list)  # operators.items.ItemSpec per family
@@ -267,6 +273,15 @@ class CrawlEngine:
             )
         else:
             cond = (F.col("url_canon") == F.col("c_url")) & (F.col("method") == "GET")
+        if cfg.corpus_bucket_n and "bucket" in corpus.columns:
+            # bucket equi-condition -> dynamic partition pruning on the
+            # corpus scan (selected side broadcasts; only touched buckets
+            # are read — the Iceberg storage-partitioned-join shape)
+            right = right.withColumnRenamed("bucket", "c_bucket")
+            cond = cond & (
+                F.col("c_bucket")
+                == F.pmod(F.xxhash64("url_canon"), F.lit(cfg.corpus_bucket_n))
+            )
         # optional corpus `status` column: a hit may carry a non-200 response
         # status (e.g. a 503 page with a body); a miss is always 404
         if "status" in corpus.columns:
@@ -456,19 +471,21 @@ class CrawlEngine:
         # -- commit (staged writes, then atomic manifest bump) ----------------
         # Per-round job budget (VERDICT r1 scaling fix): exactly THREE Spark
         # jobs in the steady state — pages stage, seen (+Bloom fused),
-        # frontier. items/fetch_log/failed are virtual projections of the
-        # pages delta; every counter rides a write via observe(); nothing is
-        # counted with a standalone action.
-        if spec_items_all is not None:
-            self.store.write_delta("items", rnd, spec_items_all)
-            tick("items_write")
+        # frontier — and the seen/frontier jobs (plus optional spec-items /
+        # lineage) are SUBMITTED CONCURRENTLY from driver threads, so their
+        # per-stage scheduling latencies overlap instead of serializing.
+        # items/fetch_log/failed are virtual projections of the pages delta;
+        # every counter rides a write via observe(); nothing is counted with
+        # a standalone action.
 
-        # seen delta + Bloom maintenance fused into one write job; the
-        # admitted cache materializes here and is reused by the frontier
-        # write below. Schedule-time semantics: seen grows in the same
-        # commit that admits the rows (scheduler.py:45-50).
-        n_admitted = 0
-        if cfg.follow_patterns or new_seed_rows is not None:
+        def _seen_job() -> int:
+            # seen delta + Bloom maintenance fused into one write job; the
+            # admitted cache materializes here (or in the concurrent
+            # frontier job — RDD cache locking makes that safe) and is
+            # shared. Schedule-time semantics: seen grows in the same
+            # commit that admits the rows (scheduler.py:45-50).
+            if not (cfg.follow_patterns or new_seed_rows is not None):
+                return 0
             new_seen = admitted.select("fingerprint", F.lit(rnd).alias("added_round"))
             if new_seed_rows is not None:
                 new_seen = new_seen.unionByName(
@@ -479,60 +496,50 @@ class CrawlEngine:
             if self.bloom is not None:
                 new_seen = self.bloom.updating_scan(new_seen)
             self.store.write_delta("seen", rnd, new_seen, cap=self.bloom is None)
-            n_seen_added = int(obs_seen.get["n"] or 0)
-            n_seeds_added = 0
-            # admitted-vs-seed split: seed rows were admitted pre-round
-            n_admitted = n_seen_added
+            n = int(obs_seen.get["n"] or 0)
             if new_seed_rows is not None:
-                n_seeds_added = new_seed_rows.count()  # tiny cached set
-                n_admitted -= n_seeds_added
-        tick("seen_bloom")
+                # admitted-vs-seed split: seed rows were admitted pre-round
+                n -= new_seed_rows.count()  # tiny cached set
+            return n
 
-        # new frontier = frontier \ selected (\ robots-blocked) + lifecycle
-        # re-entries. The anti-join's right side is the (cached) selected
-        # fingerprints, so the politeness windows are NOT recomputed and the
-        # big frontier scan streams through one stage. Broadcast is hinted
-        # only when budgets/caps bound the selected set; otherwise AQE picks
-        # from runtime stats (an unbounded selected set must not be forced
-        # driver-side).
-        sel_fps = selected.select("fingerprint")
-        bounded = cfg.round_cap is not None or cfg.effective_host_budget() > 0
-        remaining = frontier.join(
-            F.broadcast(sel_fps) if bounded else sel_fps, "fingerprint", "left_anti"
-        )
-        if robots_blocked_fps is not None:
-            remaining = remaining.join(
-                F.broadcast(robots_blocked_fps), "fingerprint", "left_anti"
+        def _frontier_job() -> dict:
+            # new frontier = frontier \ selected (\ robots-blocked) +
+            # lifecycle re-entries. The anti-join's right side is the
+            # (cached) selected fingerprints, so the politeness windows are
+            # NOT recomputed and the big frontier scan streams through one
+            # stage. Broadcast is hinted only when budgets/caps bound the
+            # selected set; otherwise AQE picks from runtime stats (an
+            # unbounded selected set must not be forced driver-side).
+            sel_fps = selected.select("fingerprint")
+            bounded = cfg.round_cap is not None or cfg.effective_host_budget() > 0
+            remaining = frontier.join(
+                F.broadcast(sel_fps) if bounded else sel_fps, "fingerprint", "left_anti"
             )
-        new_frontier = (
-            remaining.select(*frontier.columns)
-            .unionByName(retries.select(*frontier.columns))
-            .unionByName(recrawls.select(*frontier.columns))
-            .unionByName(deferred_user.select(*frontier.columns))
-            .unionByName(admitted.select(*frontier.columns))
-        )
-        obs_frontier = Observation()
-        new_frontier = new_frontier.observe(
-            obs_frontier,
-            F.count(F.lit(1)).alias("n"),
-            F.min("exetime").alias("min_exetime"),
-            F.sum((F.col("exetime") <= F.lit(now)).cast("long")).alias("n_due_now"),
-        )
-        self.store.write_frontier(rnd, new_frontier)
-        fstats = obs_frontier.get
-        # rows still due right now = politeness-deferred + retries + admitted
-        # (all three carry exetime == now; recrawls, user-deferred and
-        # ineligible rows are strictly future). Reported "deferred" folds in
-        # user defers — both are counter flag -2 in the reference.
-        n_deferred = (
-            int(fstats["n_due_now"] or 0) - n_retries - n_admitted + n_defer_user
-        )
-        tick("frontier_write")
+            if robots_blocked_fps is not None:
+                remaining = remaining.join(
+                    F.broadcast(robots_blocked_fps), "fingerprint", "left_anti"
+                )
+            new_frontier = (
+                remaining.select(*frontier.columns)
+                .unionByName(retries.select(*frontier.columns))
+                .unionByName(recrawls.select(*frontier.columns))
+                .unionByName(deferred_user.select(*frontier.columns))
+                .unionByName(admitted.select(*frontier.columns))
+            )
+            obs_frontier = Observation()
+            new_frontier = new_frontier.observe(
+                obs_frontier,
+                F.count(F.lit(1)).alias("n"),
+                F.min("exetime").alias("min_exetime"),
+                F.sum((F.col("exetime") <= F.lit(now)).cast("long")).alias("n_due_now"),
+            )
+            self.store.write_frontier(rnd, new_frontier)
+            return obs_frontier.get
 
-        # per-partition lineage (north rule) — gated: it is observability,
-        # not crawl state. Metrics rows live in the commit manifest and are
-        # materialized once per crawl by flush_metrics().
-        if cfg.detailed_metrics:
+        def _lineage_job() -> None:
+            # per-partition lineage (north rule) — gated: observability,
+            # not crawl state. Metrics rows live in the commit manifest and
+            # are materialized once per crawl by flush_metrics().
             lineage = (
                 fetch_log_view(pages)
                 .groupBy(F.spark_partition_id().alias("partition_id"))
@@ -544,6 +551,31 @@ class CrawlEngine:
                 .withColumn("round", F.lit(rnd))
             )
             self.store.write_delta("lineage", rnd, lineage)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            fut_seen = pool.submit(_seen_job)
+            fut_frontier = pool.submit(_frontier_job)
+            extras = []
+            if spec_items_all is not None:
+                extras.append(
+                    pool.submit(self.store.write_delta, "items", rnd, spec_items_all)
+                )
+            if cfg.detailed_metrics:
+                extras.append(pool.submit(_lineage_job))
+            n_admitted = fut_seen.result()
+            fstats = fut_frontier.result()
+            for f in extras:
+                f.result()
+        # rows still due right now = politeness-deferred + retries + admitted
+        # (all three carry exetime == now; recrawls, user-deferred and
+        # ineligible rows are strictly future). Reported "deferred" folds in
+        # user defers — both are counter flag -2 in the reference.
+        n_deferred = (
+            int(fstats["n_due_now"] or 0) - n_retries - n_admitted + n_defer_user
+        )
+        tick("commit_writes")
 
         self.store.commit_round(
             rnd,

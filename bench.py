@@ -60,9 +60,10 @@ def _spark(cpus: int):
         shuffle_partitions=cpus,
         extra_conf={
             "spark.driver.memory": os.environ.get("ACRAWLER_DRIVER_MEM", "24g"),
-            # compressed-page corpora: split scans small enough that the
-            # decompressed fetch-join/parse work spreads across all cores
-            "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+            # compressed-page corpora: split scans so decompressed fetch-join
+            # /parse work spreads across cores WITHOUT a task swarm (4 MB
+            # splits made hundreds of launches per scan — serial driver cost)
+            "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
         },
     )
 
@@ -92,10 +93,19 @@ def run_crawl(spark, sf_dir: str, cpus: int) -> dict:
     # layout): repeated synthetic text compresses ~50:1, so without an
     # explicit file layout the whole corpus lands in one scan split and the
     # fetch-join + parse UDF run on a single task
+    # Iceberg bucket(url) analog: directory-partition the corpus by a url
+    # hash bucket so the engine's fetch join dynamic-partition-prunes the
+    # scan — a round touching k buckets reads k/64 of the corpus instead of
+    # all of it (warm-up rounds stop paying full scans)
+    n_buckets = 64
     corpus_from_documents(
         spark, sf_dir, n_hosts=n_hosts, fanout=fanout, multiplier=mult,
         body_repeat=body_repeat,
-    ).repartition(max(64, cpus * 4), "url").write.mode("overwrite").parquet(corpus_dir)
+    ).withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets))
+    ).repartition(n_buckets, "bucket").write.partitionBy("bucket").mode(
+        "overwrite"
+    ).parquet(corpus_dir)
     corpus = spark.read.parquet(corpus_dir)
     seeds = [f"http://site{h}.test/p/{h}" for h in range(n_hosts)]
     cfg = CrawlConfig(
@@ -105,6 +115,7 @@ def run_crawl(spark, sf_dir: str, cpus: int) -> dict:
         record_rank=False,  # no global-order window in the bench hot path
         detailed_metrics=False,
         max_rounds=20,
+        corpus_bucket_n=n_buckets,
     )
     root = tempfile.mkdtemp(prefix="acrawler_bench_")
     store = CheckpointStore(root, spark, write_partitions=cpus)
