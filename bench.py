@@ -203,6 +203,18 @@ def run_all(cpus: int) -> dict:
     return best
 
 
+def _crawl_subprocess(cpus: int) -> dict:
+    """One crawl+probe measurement in a fresh JVM (own subprocess)."""
+    env = os.environ.copy()
+    env["SPARK_GRAFT_BENCH_REPS"] = "1"
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--crawl-only", str(cpus)],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--crawl-only":
         cpus = int(sys.argv[2])
@@ -211,9 +223,24 @@ def main() -> None:
 
     import __spark_entry__ as E
 
-    crawl_high = run_all(CPUS)
-    spark = _spark(CPUS)
+    # Scaling measurement: high/low reps INTERLEAVED (high, low, high, low)
+    # so a multi-minute hypervisor-steal burst — this host shows phases with
+    # several cores stolen continuously — degrades both levels rather than
+    # silently deciding the ratio; best rep per level is recorded, per-rep
+    # values + steal kept for audit.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    low_cpus = max(2, CPUS // 4)
+    runs: dict[int, list[dict]] = {CPUS: [], low_cpus: []}
+    skip_scaling = os.environ.get("SPARK_GRAFT_SKIP_SCALING") == "1"
+    for _rep in range(reps):
+        runs[CPUS].append(_crawl_subprocess(CPUS))
+        if not skip_scaling:
+            runs[low_cpus].append(_crawl_subprocess(low_cpus))
+        if skip_scaling:
+            break
+    crawl_high = max(runs[CPUS], key=lambda r: r["steady_urls_per_sec"])
 
+    spark = _spark(CPUS)
     qtimes: dict[str, float] = {}
     qs = E.queries()
     for name in HEADLINE_QUERIES:
@@ -222,14 +249,8 @@ def main() -> None:
         qtimes[name] = round(time.monotonic() - t0, 3)
 
     scaling = None
-    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
-        low_cpus = max(2, CPUS // 4)
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--crawl-only", str(low_cpus)],
-            capture_output=True, text=True, env=os.environ.copy(),
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        low = json.loads(out.stdout.strip().splitlines()[-1])
+    if not skip_scaling:
+        low = max(runs[low_cpus], key=lambda r: r["steady_urls_per_sec"])
         ratio = CPUS / low_cpus
         scaling = {
             "low_cpus": low_cpus,
@@ -251,9 +272,12 @@ def main() -> None:
             "efficiency_parse": round(
                 (crawl_high["parse_pages_per_sec"] / low["parse_pages_per_sec"]) / ratio, 3
             ),
+            "reps": reps,
+            "all_high_steady": [r["steady_urls_per_sec"] for r in runs[CPUS]],
+            "all_low_steady": [r["steady_urls_per_sec"] for r in runs[low_cpus]],
             "steal_jiffies": {
-                "low": low.get("steal_jiffies_during"),
-                "high": crawl_high.get("steal_jiffies_during"),
+                "low": [r.get("steal_jiffies_during") for r in runs[low_cpus]],
+                "high": [r.get("steal_jiffies_during") for r in runs[CPUS]],
             },
         }
 
