@@ -284,12 +284,41 @@ class CrawlEngine:
             )
         # optional corpus `status` column: a hit may carry a non-200 response
         # status (e.g. a 503 page with a body); a miss is always 404
-        if "status" in corpus.columns:
+        has_status = "status" in corpus.columns
+        if has_status:
             right = right.withColumnRenamed("status", "c_status")
             hit_status = F.coalesce(F.col("c_status").cast("int"), F.lit(200))
         else:
             hit_status = F.lit(200)
-        fetched = selected_ranked.join(right, cond, "left").withColumn(
+
+        # JOIN SHAPE MATTERS: a plain `selected LEFT OUTER corpus` cannot
+        # broadcast its small (preserved) side, so Spark sort-merge-joins —
+        # shuffling the ENTIRE decompressed corpus every round, I/O-bound
+        # work that scales with nothing. Instead:
+        #   hits   = corpus INNER JOIN broadcast(selected)  — the corpus
+        #            scan streams through one stage (no shuffle), DPP prunes
+        #            its bucket partitions from the broadcast values;
+        #   misses = selected LEFT ANTI corpus[url columns]  — a column-
+        #            pruned scan of the join keys only (never decompresses
+        #            html); AQE broadcasts whichever side is small.
+        bounded = cfg.round_cap is not None or cfg.effective_host_budget() > 0
+        sel_side = F.broadcast(selected_ranked) if bounded else selected_ranked
+        sel_cols = [*frontier.columns, "rank"]
+        page_cols = ["c_url", "html", "encoding", "lang"] + (
+            ["c_status"] if has_status else []
+        )
+        hits = right.join(sel_side, cond, "inner").select(*sel_cols, *page_cols)
+        key_cols = [c for c in ("c_url", "c_method", "c_bucket") if c in right.columns]
+        miss_nulls = [
+            F.lit(None).cast("string").alias("c_url"),
+            F.lit(None).cast("binary").alias("html"),
+            F.lit(None).cast("string").alias("encoding"),
+            F.lit(None).cast("string").alias("lang"),
+        ] + ([F.lit(None).cast("int").alias("c_status")] if has_status else [])
+        misses = selected_ranked.join(right.select(*key_cols), cond, "left_anti").select(
+            *sel_cols, *miss_nulls
+        )
+        fetched = hits.unionByName(misses).withColumn(
             "status", F.when(F.col("c_url").isNotNull(), hit_status).otherwise(F.lit(404))
         )
         # ok (http.py:270-281): status==200 OR allowed==[] OR status IN

@@ -83,20 +83,20 @@ class CheckpointStore:
 
     # -- write (staged; becomes visible only at commit_round) ----------------
 
-    # tables whose rows carry page text: AQE's rebalance sizes partitions by
-    # COMPRESSED shuffle bytes, and page text compresses ~50:1, so rebalance
-    # coalesces these to one fat partition and a single write task becomes
-    # the round's straggler. They keep an explicit width instead.
+    # tables whose rows carry page text: never shuffled for the write. The
+    # fetch join broadcasts the bounded selected side, so the pages job is
+    # scan -> join -> parse -> write in ONE stage; a rebalance/repartition
+    # here would push the round's largest payload (decompressed text)
+    # through shuffle disk twice — memory-bandwidth-bound work that scales
+    # with nothing. Upstream partitioning (scan splits) already bounds file
+    # sizes; AQE's rebalance also missizes these ~50:1-compressible rows.
     BIG_PAYLOAD = ("pages", "items")
 
     def _capped(self, df: DataFrame, table: str | None = None) -> DataFrame:
         if self.write_partitions is None:
             return df
         if table in self.BIG_PAYLOAD:
-            # repartition, NOT coalesce: the shuffle boundary keeps upstream
-            # (join + Arrow UDF) at full parallelism; only the write stage
-            # is pinned to `write_partitions`
-            return df.repartition(self.write_partitions)
+            return df
         # small/metadata tables: AQE rebalance — tiny round deltas coalesce
         # to one file instead of `write_partitions` near-empty files whose
         # open/footer overhead was a serial per-round cost
