@@ -86,6 +86,14 @@ class CrawlConfig:
     # pruning skips every corpus partition the round doesn't touch — small
     # rounds stop paying a full corpus scan
     corpus_bucket_n: int | None = None
+    # Rounds are bounded in any faithful config (the reference always caps
+    # in-flight requests: MAX_REQUESTS, setting.py:46-47), so the selected
+    # side broadcasts in the fetch join / frontier anti-join by default —
+    # without the hint AQE's initial SMJ plan lets the corpus map-side
+    # shuffle (the round's largest payload) start before runtime conversion.
+    # Set False only if a round can select more rows than the driver can
+    # broadcast (no budgets, no cap, unbounded frontier).
+    broadcast_selected: bool = True
     in_pattern: str | None = None  # parse gate by response url (parser.py:62-73)
     follow_limit: int | None = None  # max followed links per page (http.py:387-435)
     item_specs: list = field(default_factory=list)  # operators.items.ItemSpec per family
@@ -301,7 +309,11 @@ class CrawlEngine:
         #   misses = selected LEFT ANTI corpus[url columns]  — a column-
         #            pruned scan of the join keys only (never decompresses
         #            html); AQE broadcasts whichever side is small.
-        bounded = cfg.round_cap is not None or cfg.effective_host_budget() > 0
+        bounded = (
+            cfg.broadcast_selected
+            or cfg.round_cap is not None
+            or cfg.effective_host_budget() > 0
+        )
         sel_side = F.broadcast(selected_ranked) if bounded else selected_ranked
         sel_cols = [*frontier.columns, "rank"]
         page_cols = ["c_url", "html", "encoding", "lang"] + (
@@ -540,7 +552,6 @@ class CrawlEngine:
             # selected set; otherwise AQE picks from runtime stats (an
             # unbounded selected set must not be forced driver-side).
             sel_fps = selected.select("fingerprint")
-            bounded = cfg.round_cap is not None or cfg.effective_host_budget() > 0
             remaining = frontier.join(
                 F.broadcast(sel_fps) if bounded else sel_fps, "fingerprint", "left_anti"
             )
