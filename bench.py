@@ -78,7 +78,12 @@ def run_crawl(spark, sf_dir: str, cpus: int) -> dict:
     from acrawler_spark.sources.store import CheckpointStore
 
     n_hosts = 32
-    mult = int(os.environ.get("SPARK_GRAFT_CORPUS_MULT", "8"))
+    # page count = documents x mult. 32 -> 160k pages (~16 GB decompressed
+    # parse work) at sf0.1: enough parallel work per round that the 8-core
+    # run is compute-bound — smaller corpora finish in ~45 s at EVERY
+    # parallelism level (driver/commit latency floor) and cannot evidence
+    # work scaling at all
+    mult = int(os.environ.get("SPARK_GRAFT_CORPUS_MULT", "32"))
     body_repeat = int(os.environ.get("SPARK_GRAFT_BODY_REPEAT", "64"))
     # fanout 8 -> ~6 BFS rounds at sf0.1 with thousands of URLs each: the
     # large-round regime a 10^10-URL frontier always operates in. (Deep
@@ -169,7 +174,7 @@ def run_parse_probe(spark, sf_dir: str) -> float:
 
     d = tf.mkdtemp(prefix="acrawler_probe_")
     corpus_from_documents(
-        spark, sf_dir, n_hosts=32, fanout=4, multiplier=4, body_repeat=64
+        spark, sf_dir, n_hosts=32, fanout=8, multiplier=8, body_repeat=64
     ).repartition(128, "url").write.mode("overwrite").parquet(d)
     c = spark.read.parquet(d)
     n = c.count()
