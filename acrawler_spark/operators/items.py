@@ -12,12 +12,15 @@ Reference semantics preserved:
 * ``css_divider`` splits a page into fragments, one item per fragment
   (http.py:437-449, parser.py:31-38) — posexplode of the fragment array.
 
-CSS selectors: parsel/lxml are not in this sandbox, so the two selector
-shapes the fixtures use — ``tag.class::text`` and ``tag::attr(name)`` — are
-compiled to equivalent regexes (documented contract: well-formed,
+CSS selectors, two-tier: the two selector shapes the fixtures use —
+``tag.class::text`` and ``tag::attr(name)`` — compile to equivalent JVM
+regexp expressions (fast path; documented contract: well-formed,
 non-nested target tags, which CommonCrawl-style extraction pipelines
-normalize to upstream anyway). Arbitrary CSS would drop to a pandas UDF
-with an HTML parser; the rule API is parser-agnostic.
+normalize to upstream anyway). Any richer selector — descendant/child
+combinators, multiple classes, ``#id`` (e.g. ``div.a > span::text``) —
+falls back to an Arrow-batched pandas UDF over a stdlib-``html.parser``
+DOM (functions/css.py), the declared slow-path seam. ``ValueError`` is
+reserved for syntax neither tier parses.
 """
 
 from __future__ import annotations
@@ -73,10 +76,33 @@ class FieldRule:
     inline: "ItemSpec | None" = None
 
     def compile(self, text: Column) -> Column:
+        regex = group = None
         if self.rule.startswith("re:"):
             regex, group = self.rule[3:], 1
         else:
-            regex, group = _css_to_regex(self.rule)
+            try:
+                regex, group = _css_to_regex(self.rule)
+            except ValueError:
+                # selector outside the regex subset -> pandas-UDF DOM
+                # fallback (functions/css.py); parse now so a truly
+                # unsupported selector still fails at spec-build time
+                from acrawler_spark.functions.css import (
+                    make_select_udf,
+                    parse_selector,
+                )
+
+                parse_selector(self.rule)  # raises ValueError on bad syntax
+                if self.inline is not None:
+                    raise ValueError(
+                        "inline nested items require a regex-subset rule "
+                        f"(tag.class::text / tag::attr): {self.rule!r}"
+                    )
+                col = make_select_udf(self.rule, self.getall)(text)
+                if self.processors:
+                    col = proc_chain(*self.processors)(col)
+                if self.default is not None:
+                    col = F.coalesce(col, F.lit(self.default))
+                return col
         if self.inline is not None:
             def sub_struct(frag: Column) -> Column:
                 return F.struct(

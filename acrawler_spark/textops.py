@@ -89,12 +89,40 @@ _SHINGLES_SQL = """
 
 
 # n-gram Jaccard near-dup: pairs form only via shared shingles (bucketed
-# join — never O(n^2)); at 100 TB the shingle join shuffles on shingle hash
-# with AQE skew splitting.
+# join — never O(n^2) over documents); at 100 TB the shingle join shuffles
+# on shingle hash with AQE skew splitting.
+#
+# Hot-key bound (SCALING.md): a shingle shared by k docs still makes k^2
+# candidate pairs, and boilerplate shingles ("all rights reserved ...") are
+# guaranteed hot at corpus scale. Shingles with document frequency > DF_MAX
+# are dropped from the pair join AND the size denominators (Jaccard over the
+# capped shingle universe) — the standard stop-shingle cut. Near-dup recall
+# is preserved: a true near-dup pair shares many shingles, so it stays
+# connected through its rarer shingles; only pairs connected EXCLUSIVELY by
+# boilerplate disappear, which is the desired behavior. The same cap feeds
+# the MinHash signature build below (identically in the DuckDB oracle).
+
+DF_MAX = 50
+
+
+def _cap_df(sh: DataFrame, df_max: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds df_max (hot keys)."""
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    return (
+        sh.join(freq.filter(F.col("_df") <= df_max).select("shingle"), "shingle")
+        .select("doc_id", "shingle")
+    )
+
+
+_CAP_DF_SQL = """
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {df_max})
+"""
+
 
 def q_dedup_ngram_jaccard(spark, sf_dir, max_doc: int = 200, threshold: float = 0.1):
     docs = _t(spark, sf_dir, "documents")
-    sh = _shingles(docs, max_doc)
+    sh = _cap_df(_shingles(docs, max_doc), DF_MAX)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -119,10 +147,11 @@ def q_dedup_ngram_jaccard(spark, sf_dir, max_doc: int = 200, threshold: float = 
 
 SQL_DEDUP_NGRAM_JACCARD = f"""
 WITH sh AS ({_SHINGLES_SQL.format(max_doc=200)}),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shc AS ({_CAP_DF_SQL.format(df_max=DF_MAX)}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS overlap
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, overlap,
@@ -143,7 +172,7 @@ _MH_P = 1_000_000_007
 
 def q_dedup_minhash(spark, sf_dir, max_doc: int = 300):
     docs = _t(spark, sf_dir, "documents")
-    sh = _shingles(docs, max_doc).withColumn("h", _h32(F.col("shingle")))
+    sh = _cap_df(_shingles(docs, max_doc), DF_MAX).withColumn("h", _h32(F.col("shingle")))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MH_P)).alias(f"mh{i}")
         for i, (a, b) in enumerate(_MINHASH_PARAMS)
@@ -161,7 +190,8 @@ def q_dedup_minhash(spark, sf_dir, max_doc: int = 300):
 
 SQL_DEDUP_MINHASH = f"""
 WITH sh AS ({_SHINGLES_SQL.format(max_doc=300)}),
-h AS (SELECT doc_id, {_H32_SQL.format(x='shingle')} AS h FROM sh),
+shc AS ({_CAP_DF_SQL.format(df_max=DF_MAX)}),
+h AS (SELECT doc_id, {_H32_SQL.format(x='shingle')} AS h FROM shc),
 sig AS (
   SELECT doc_id,
          min((2*h + 1) % 1000000007) AS mh0,
@@ -180,45 +210,68 @@ FROM sig
 """
 
 
-# SimHash (16-bit): per token-hash bit, sum +1/-1; bit set where sum > 0.
+# SimHash, 64-bit (production near-dedup width: 16 bits saturates around
+# 10^5 docs; 64 bits keeps bucket collision rates meaningful past 10^10).
+# Per token-hash bit, sum +1/-1; bit set where sum > 0. The 64 bits come
+# from two independent 32-bit md5 slices (chars 1-8 and 9-16) and the value
+# is reported as two 32-bit halves (simhash_hi/simhash_lo) — both engines
+# then work in comfortably-signed BIGINT space with zero 1<<63 overflow
+# games, and Hamming distance is popcount(hi^hi') + popcount(lo^lo').
 
 def q_dedup_simhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("w")
-    ).withColumn("h", _h32(F.col("w")))
-    bit_sums = tok.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{j}")
-            for j in range(16)
-        ]
+    tok = (
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("w")
+        )
+        .withColumn("h_lo", _h32(F.col("w")))
+        .withColumn("h_hi", F.conv(F.substring(F.md5(F.col("w")), 9, 8), 16, 10).cast("long"))
     )
-    sim = None
-    for j in range(16):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return bit_sums.select("doc_id", sim.cast("long").alias("simhash"))
+    def bit_agg(src: str, j: int, name: str):
+        return F.sum(
+            F.when(F.shiftright(F.col(src), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(name)
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[bit_agg("h_lo", j, f"lo{j}") for j in range(32)],
+        *[bit_agg("h_hi", j, f"hi{j}") for j in range(32)],
+    )
+    def recombine(prefix: str):
+        sim = None
+        for j in range(32):
+            term = F.when(F.col(f"{prefix}{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            sim = term if sim is None else sim + term
+        return sim.cast("long")
+    return bit_sums.select(
+        "doc_id", recombine("hi").alias("simhash_hi"), recombine("lo").alias("simhash_lo")
+    )
 
 
 def _simhash_sql() -> str:
-    bit_sums = ",\n         ".join(
-        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(16)
-    )
-    recombine = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    def bit_sums(src: str, prefix: str) -> str:
+        return ",\n         ".join(
+            f"sum(CASE WHEN ({src} >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS {prefix}{j}"
+            for j in range(32)
+        )
+    def recombine(prefix: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN {prefix}{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32)
+        )
     return f"""
 WITH tok AS (
   SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
   FROM documents
 ),
-h AS (SELECT doc_id, {_H32_SQL.format(x='w')} AS h FROM tok),
+h AS (SELECT doc_id, {_H32_SQL.format(x='w')} AS h_lo,
+             ('0x' || substr(md5(w), 9, 8))::BIGINT AS h_hi FROM tok),
 bits AS (
   SELECT doc_id,
-         {bit_sums}
+         {bit_sums('h_lo', 'lo')},
+         {bit_sums('h_hi', 'hi')}
   FROM h GROUP BY doc_id
 )
-SELECT doc_id, ({recombine})::BIGINT AS simhash FROM bits
+SELECT doc_id, ({recombine('hi')})::BIGINT AS simhash_hi,
+       ({recombine('lo')})::BIGINT AS simhash_lo
+FROM bits
 """
 
 

@@ -105,3 +105,77 @@ def test_inline_nested_items(spark):
     )
     row = spec.extract(df).first()
     assert [(b.t, b.p) for b in row.books] == [("B1", 3.5), ("B2", 4.0)]
+
+
+def test_fallback_descendant_selector(spark):
+    # selectors outside the regex subset (descendant/child combinators,
+    # #id) drop to the functions/css.py pandas-UDF DOM fallback — these
+    # raised ValueError before
+    html = (
+        '<div class="a"><span class="inner">yes</span></div>'
+        '<div class="b"><span class="inner">no</span></div>'
+        '<p id="pid">by-id</p>'
+    )
+    df = spark.createDataFrame(
+        [("u", html, 1)], "url string, extracted_text string, round int"
+    )
+    spec = ItemSpec(
+        family="f",
+        fields={
+            "child": FieldRule("div.a > span::text"),
+            "descendant": FieldRule("div.a span.inner::text"),
+            "by_id": FieldRule("p#pid::text"),
+        },
+    )
+    row = spec.extract(df).first()
+    assert row.child == "yes"
+    assert row.descendant == "yes"
+    assert row.by_id == "by-id"
+
+
+def test_fallback_getall_and_attr(spark):
+    html = (
+        '<ul class="nav"><li><a href="/x">x</a></li><li><a href="/y">y</a></li></ul>'
+        '<a href="/outside">z</a>'
+    )
+    df = spark.createDataFrame(
+        [("u", html, 1)], "url string, extracted_text string, round int"
+    )
+    spec = ItemSpec(
+        family="f",
+        fields={
+            "nav_hrefs": FieldRule("ul.nav a::attr(href)", getall=True),
+            "nav_texts": FieldRule("ul.nav > li > a::text", getall=True),
+        },
+    )
+    row = spec.extract(df).first()
+    assert row.nav_hrefs == ["/x", "/y"]
+    assert row.nav_texts == ["x", "y"]
+
+
+def test_fallback_no_match_and_processors(spark):
+    df = spark.createDataFrame(
+        [("u", '<div class="a"><b>7</b></div>', 1)],
+        "url string, extracted_text string, round int",
+    )
+    spec = ItemSpec(
+        family="f",
+        fields={
+            "n": FieldRule("div.a > b::text", processors=["to_int"]),
+            "missing": FieldRule("div.z > b::text", default="none"),
+        },
+    )
+    row = spec.extract(df).first()
+    assert row.n == 7
+    assert row.missing == "none"
+
+
+def test_truly_unsupported_selector_still_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [("u", "<p>x</p>", 1)], "url string, extracted_text string, round int"
+    )
+    spec = ItemSpec(family="f", fields={"x": FieldRule("p:nth-child(2)::text")})
+    with pytest.raises(ValueError):
+        spec.extract(df)
