@@ -613,6 +613,64 @@ WHERE frame_idx % 2 = 0 AND frame_len > 0
 """
 
 
+
+
+def q_media_features(spark, sf_dir):
+    """The mapInPandas decode stage as a driver query (fake decode —
+    deterministic byte-chunk means, operators/multimodal.py:60-75): the
+    whole Arrow batch path (payload binary -> features) gets a DuckDB
+    oracle. Feature vector (float32) excluded; the double stats are the
+    cross-engine contract."""
+    from acrawler_spark.operators.multimodal import decode_features_df
+
+    # ascii-sanitized payload: byte offsets == char offsets in both engines
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.regexp_replace("text", r"[^\x20-\x7e]", ""), "utf-8").alias("payload"),
+    )
+    return decode_features_df(docs, decode_stub="fake").select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round("feat_mean", 6).alias("feat_mean"),
+        F.round("feat_std", 6).alias("feat_std"),
+        "n_frames",
+    )
+
+
+# np.array_split chunking of n bytes into 8 parts: first (n % 8) chunks get
+# (n // 8 + 1) bytes, the rest (n // 8); std is two-pass population std,
+# matching np.std's float64 evaluation order to well past 6 decimals.
+SQL_MEDIA_FEATURES = r"""
+WITH a AS (
+  SELECT doc_id AS media_id, regexp_replace(text, '[^\x20-\x7e]', '', 'g') AS s
+  FROM documents
+),
+b AS (SELECT media_id, s, strlen(s) AS n FROM a),
+bytes AS (
+  SELECT media_id, n,
+         ord(substr(s, (i + 1)::BIGINT, 1)) AS v,
+         CASE WHEN i < (n % 8) * ((n // 8) + 1)
+              THEN i // ((n // 8) + 1)
+              ELSE (n % 8) + (i - (n % 8) * ((n // 8) + 1)) // (n // 8) END AS chunk
+  FROM b, unnest(range(0, n)) AS t(i)
+),
+chunks AS (
+  SELECT media_id, chunk, avg(v) AS cm FROM bytes GROUP BY 1, 2
+),
+m AS (SELECT media_id, avg(cm) AS fm, count(*) AS nf FROM chunks GROUP BY 1),
+st AS (
+  SELECT c.media_id, sqrt(avg((c.cm - m.fm) * (c.cm - m.fm))) AS fstd
+  FROM chunks c JOIN m USING (media_id) GROUP BY 1
+)
+SELECT m.media_id, 'image' AS kind, b.n AS n_bytes,
+       round(m.fm, 6) AS feat_mean, round(st.fstd, 6) AS feat_std,
+       m.nf::INT AS n_frames
+FROM m JOIN st USING (media_id) JOIN b USING (media_id)
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql or None)
     "url_canonicalize": (q_url_canonicalize, SQL_URL_CANONICALIZE),
@@ -634,4 +692,5 @@ REGISTRY: dict[str, tuple] = {
     "upsert_last_wins": (q_upsert_last_wins, SQL_UPSERT_LAST_WINS),
     "media_metadata": (q_media_metadata, SQL_MEDIA_METADATA),
     "media_frame_sample": (q_media_frame_sample, SQL_MEDIA_FRAME_SAMPLE),
+    "media_features": (q_media_features, SQL_MEDIA_FEATURES),
 }

@@ -72,7 +72,15 @@ class Crawl:
     def handler(self, position: str, fn, priority: int = 100,
                 family: str | None = None) -> "Crawl":
         """@register analog (middleware.py:189-266); ``family`` scopes the
-        handler to matching rows (middleware.py:74-88)."""
+        handler to matching rows (middleware.py:74-88). ``on_close``
+        handlers receive the committed store, not a row DataFrame, so a
+        family scope cannot apply there — rejected rather than silently
+        ignored."""
+        if position == "on_close" and family is not None:
+            raise ValueError(
+                "on_close handlers are store-level sink flushes and cannot "
+                "be family-scoped (register without family)"
+            )
         entry = (priority, fn) if family is None else (priority, fn, family)
         self._cfg.handlers.setdefault(position, []).append(entry)
         return self

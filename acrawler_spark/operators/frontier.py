@@ -29,11 +29,20 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("depth", T.IntegerType(), False),
         T.StructField("dont_filter", T.BooleanType(), False),
         T.StructField("family", T.StringType(), True),
+        # callback chain routing (http.py:102-104): which parse family's
+        # ItemSpecs apply to this row's response. Inherited by follow/
+        # paginate children (http.py:387-435: children take the parent's
+        # callback list), unlike `family` which resets to "Request" for
+        # followed links (parser.py:97: a fresh Request).
+        T.StructField("callback_family", T.StringType(), True),
         T.StructField("ancestor", T.StringType(), True),
         T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
         # per-request allowed statuses (http.py:101): NULL -> config default;
         # [] -> allow-all; else explicit list (http.py:270-281)
         T.StructField("status_allowed", T.ArrayType(T.IntegerType()), True),
+        # task.py:51: a failed task with ignore_exception set is not
+        # retried — it goes straight to the failed table
+        T.StructField("ignore_exception", T.BooleanType(), False),
         T.StructField("discovered_round", T.IntegerType(), False),
         T.StructField("discovery_idx", T.LongType(), False),
     ]
@@ -76,13 +85,18 @@ def seeds_frontier(
                 s["url"], i, s.get("method", "GET"),
                 int(s.get("priority", priority)), int(s.get("recrawl", recrawl)),
                 s.get("status_allowed"), s.get("family", family),
+                # a seed's callback family defaults to its own family (the
+                # spider parse the reference would bind, crawler.py:295-302)
+                s.get("callback_family", s.get("family", family)),
                 {str(k): str(v) for k, v in (s.get("meta") or {}).items()},
+                bool(s.get("ignore_exception", False)),
             )
         )
     df = spark.createDataFrame(
         rows,
         "url string, seed_idx long, method string, priority int, recrawl long, "
-        "status_allowed array<int>, family string, meta map<string,string>",
+        "status_allowed array<int>, family string, callback_family string, "
+        "meta map<string,string>, ignore_exception boolean",
     )
     df = _with_url_identity(df)
     df = (
@@ -106,7 +120,8 @@ def candidates_from_links(
 ) -> DataFrame:
     """Explode parsed pages' out-links into frontier candidate rows.
 
-    ``parsed`` needs: links array<string>, depth, ancestor, meta, rank
+    ``parsed`` needs: links array<string>, depth, ancestor, meta, rank,
+    callback_family
     (the page's per-round schedule rank — discovery order comes from
     (rank, link position), making within-round dedup deterministic,
     SURVEY §7). Child priority defaults to 0 — a followed link is a fresh
@@ -118,6 +133,7 @@ def candidates_from_links(
             "ancestor",
             "meta",
             "rank",
+            "callback_family",
             F.posexplode("links").alias("pos", "url"),
         )
         .withColumn("method", F.lit("GET"))
@@ -139,11 +155,14 @@ def candidates_from_links(
         "depth",
         F.lit(False).alias("dont_filter"),
         F.lit("Request").alias("family"),
+        # children inherit the parent's callback chain (http.py:387-435)
+        "callback_family",
         "ancestor",
         "meta",
         # followed links are fresh Requests with default per-request config
         # (parser.py:97) — allowed statuses fall back to the crawl config
         F.lit(None).cast("array<int>").alias("status_allowed"),
+        F.lit(False).alias("ignore_exception"),
         F.lit(rnd).alias("discovered_round"),
         (F.col("rank").cast("long") * F.lit(1_000_000) + F.col("pos")).alias("discovery_idx"),
     )

@@ -133,6 +133,11 @@ class ItemSpec:
     fields: dict[str, FieldRule]
     css_divider: str | None = None  # fragment selector (parser.py:31-38)
     url_pattern: str | None = None  # in_pattern gate (parser.py:62-73)
+    # callback-chain routing (http.py:102-104 + parser.py:41-57): when set,
+    # the spec extracts only from pages whose inherited callback_family
+    # matches (follow/paginate children inherit the parent's — the
+    # "listing parses with A, detail with B, pagination inherits A" shape)
+    callback_family: str | None = None
 
     def extract(self, pages: DataFrame, text_col: str = "extracted_text") -> DataFrame:
         """pages: (url, <text_col>, round, ...) -> one row per item with the

@@ -64,12 +64,16 @@ def make_decode_features(decode_stub: str = "fake", n_features: int = 8):
                 f"no {kind} codec in this environment; install one and "
                 f"replace operators.multimodal._decode"
             )
-        # deterministic fake decode: fixed-size byte-histogram features
+        # deterministic fake decode: fixed-size byte-histogram features.
+        # Chunk means accumulate in float64 (exact integer sums) so the
+        # derived feat_mean/feat_std are SQL-reproducible to 6 decimals
+        # (the media_features driver query's DuckDB oracle recomputes
+        # them); the stored feature vector is float32 like a real encoder.
         arr = np.frombuffer(payload, dtype=np.uint8)
         if arr.size == 0:
-            return np.zeros(n_features, dtype=np.float32)
-        chunks = np.array_split(arr.astype(np.float32), n_features)
-        return np.array([c.mean() if c.size else 0.0 for c in chunks], dtype=np.float32)
+            return np.zeros(n_features, dtype=np.float64)
+        chunks = np.array_split(arr.astype(np.float64), n_features)
+        return np.array([c.mean() if c.size else 0.0 for c in chunks], dtype=np.float64)
 
     def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -82,7 +86,7 @@ def make_decode_features(decode_stub: str = "fake", n_features: int = 8):
                     "feat_mean": [float(f.mean()) for f in feats],
                     "feat_std": [float(f.std()) for f in feats],
                     "n_frames": [int(f.shape[0]) for f in feats],
-                    "feature": [f.tolist() for f in feats],
+                    "feature": [f.astype(np.float32).tolist() for f in feats],
                 }
             )
 

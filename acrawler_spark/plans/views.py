@@ -30,6 +30,7 @@ def items_view(pages: DataFrame) -> DataFrame:
     return pages.filter(F.col("ok") & F.col("text").isNotNull()).select(
         F.col("url_canon").alias("url"),
         F.col("family"),
+        F.col("callback_family"),
         F.col("text").alias("extracted_text"),
         F.col("lang"),
         F.col("depth"),
@@ -51,9 +52,12 @@ def fetch_log_view(pages: DataFrame) -> DataFrame:
         F.col("tries_done").alias("tries"),
         "host",
         "bytes",
-        F.when(~F.col("ok"), F.concat(F.lit("<"), F.col("status"), F.lit(">"))).alias(
-            "error"
-        ),
+        # a user-deferred row (ReScheduleError, counter flag -2) is not a
+        # fetch failure in the reference — label it distinctly instead of
+        # surfacing a bogus '<200>' error for a rescheduled corpus hit
+        F.when(F.col("defer_s") > 0, F.lit("<deferred>"))
+        .when(~F.col("ok"), F.concat(F.lit("<"), F.col("status"), F.lit(">")))
+        .alias("error"),
     )
 
 

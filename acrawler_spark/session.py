@@ -45,6 +45,16 @@ def get_spark(
         # web pages are tens of KB each: small Arrow batches keep per-worker
         # peak memory (batch_rows x page_size x pandas overhead) bounded
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # parquet vectorized-reader batch: default 4096 rows x ~100 KB html
+        # = ~400 MB of decompressed column batch PER TASK — at 32 concurrent
+        # tasks that alone fills a mid-size heap and GC pauses invert the
+        # core-count scaling (r2 bench: local[32] slower than local[8], with
+        # driver-internal RPC timeouts = multi-second GC pauses). 512 rows
+        # bounds it at ~50 MB/task while keeping vectorization.
+        .config(
+            "spark.sql.parquet.columnarReaderBatchSize",
+            os.environ.get("ACRAWLER_READER_BATCH", "512"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("ACRAWLER_DRIVER_MEM", "8g"))
     )

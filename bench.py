@@ -124,9 +124,11 @@ def run_crawl(spark, sf_dir: str, cpus: int) -> dict:
     )
     root = tempfile.mkdtemp(prefix="acrawler_bench_")
     store = CheckpointStore(root, spark, write_partitions=cpus)
+    cpu0, gc0 = _cpu_jiffies(), _jvm_gc_ms(spark)
     t0 = time.monotonic()
     history = CrawlEngine(spark, cfg, store).run(corpus)
     secs = time.monotonic() - t0
+    cpu1, gc1 = _cpu_jiffies(), _jvm_gc_ms(spark)
     fetched = store.read_appended("fetch_log").count()
     ok = store.read_appended("fetch_log").filter(F.col("ok")).count()
     shutil.rmtree(root, ignore_errors=True)
@@ -137,6 +139,7 @@ def run_crawl(spark, sf_dir: str, cpus: int) -> dict:
     big = [h for h in history if h["selected"] >= 0.05 * max(fetched, 1)]
     steady_urls = sum(h["selected"] for h in big)
     steady_secs = sum(h["wall_s"] for h in big) or 1e-9
+    cpu_busy_s = (cpu1["busy"] - cpu0["busy"]) / 100.0
     return {
         "fetched": fetched, "ok": ok, "secs": round(secs, 2),
         "urls_per_sec": round(fetched / secs, 2),
@@ -144,6 +147,14 @@ def run_crawl(spark, sf_dir: str, cpus: int) -> dict:
         "steady_urls": steady_urls,
         "steady_secs": round(steady_secs, 2),
         "steady_urls_per_sec": round(steady_urls / steady_secs, 2),
+        # audit metrics (r2 verdict #1): GC time isolates heap-pressure
+        # inversion; busy-CPU seconds give a steal-immune work measure
+        # (urls per CPU-second should be level-independent under perfect
+        # scaling); steal marks reps the hypervisor polluted
+        "gc_ms": gc1 - gc0,
+        "cpu_busy_s": round(cpu_busy_s, 1),
+        "urls_per_cpu_sec": round(fetched / cpu_busy_s, 2) if cpu_busy_s > 0 else None,
+        "steal_jiffies": cpu1["steal"] - cpu0["steal"],
         "round_timings": [
             {"round": h["round"], "selected": h["selected"], **h["timing"]}
             for h in history
@@ -157,6 +168,35 @@ def _steal_jiffies() -> int:
             return int(f.readline().split()[8])
     except Exception:
         return 0
+
+
+def _cpu_jiffies() -> dict:
+    """System-wide CPU accounting (user+nice+system, idle, steal) — the
+    audit trail for steal-aware rep selection and CPU-time-normalized
+    efficiency (this host is a shared microVM; wall-clock alone lets a
+    hypervisor burst decide the recorded scaling ratio)."""
+    try:
+        with open("/proc/stat") as f:
+            p = f.readline().split()
+        return {
+            "busy": int(p[1]) + int(p[2]) + int(p[3]),
+            "idle": int(p[4]) + int(p[5]),
+            "steal": int(p[8]),
+        }
+    except Exception:
+        return {"busy": 0, "idle": 0, "steal": 0}
+
+
+def _jvm_gc_ms(spark) -> int:
+    """Cumulative GC time of the local-mode JVM via JMX (driver==executor
+    here). The r2 inversion diagnosis metric: GC-bound 32-thread rounds
+    show tens of seconds here while 8-thread runs of the same work don't."""
+    try:
+        mf = spark.sparkContext._jvm.java.lang.management.ManagementFactory
+        beans = mf.getGarbageCollectorMXBeans()
+        return sum(beans.get(i).getCollectionTime() for i in range(beans.size()))
+    except Exception:
+        return -1
 
 
 def run_parse_probe(spark, sf_dir: str) -> float:
@@ -220,6 +260,28 @@ def _crawl_subprocess(cpus: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+STEAL_FRAC_MAX = 0.08  # rep is "clean" if hypervisor steal < 8% of busy CPU
+
+
+def _steal_frac(r: dict) -> float:
+    busy = r.get("cpu_busy_s", 0) * 100.0
+    steal = r.get("steal_jiffies", r.get("steal_jiffies_during", 0)) or 0
+    return steal / max(busy + steal, 1.0)
+
+
+def _pick(reps: list[dict]) -> tuple[dict, list[dict]]:
+    """(best rep, clean reps). Clean = steal below threshold; if the host
+    never went quiet, fall back to all reps (recorded in the audit trail)."""
+    clean = [r for r in reps if _steal_frac(r) < STEAL_FRAC_MAX] or list(reps)
+    return max(clean, key=lambda r: r["steady_urls_per_sec"]), clean
+
+
+def _median(xs: list[float]) -> float:
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+
+
 def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--crawl-only":
         cpus = int(sys.argv[2])
@@ -228,26 +290,41 @@ def main() -> None:
 
     import __spark_entry__ as E
 
-    # Scaling measurement: high/low reps INTERLEAVED (high, low, high, low)
-    # so a multi-minute hypervisor-steal burst — this host shows phases with
-    # several cores stolen continuously — degrades both levels rather than
-    # silently deciding the ratio; best rep per level is recorded, per-rep
-    # values + steal kept for audit.
+    # Scaling measurement (r2 verdict #1): high/low reps INTERLEAVED
+    # (high, low, high, low) so a hypervisor-steal burst degrades both
+    # levels instead of silently deciding the ratio. Steal-aware policy:
+    # keep running interleaved rep pairs (up to max_reps) until each level
+    # has >=2 reps under the steal threshold; report best-of-clean AND
+    # median-of-clean, with per-rep steal/GC/CPU kept for audit. The
+    # CPU-seconds-normalized efficiency (urls per busy-CPU-second, level
+    # ratio) is immune to steal by construction — stolen jiffies are not
+    # busy jiffies.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    max_reps = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPS", str(max(reps, 3))))
     low_cpus = max(2, CPUS // 4)
     runs: dict[int, list[dict]] = {CPUS: [], low_cpus: []}
     skip_scaling = os.environ.get("SPARK_GRAFT_SKIP_SCALING") == "1"
-    for _rep in range(reps):
+    for _rep in range(max_reps):
         runs[CPUS].append(_crawl_subprocess(CPUS))
-        if not skip_scaling:
-            runs[low_cpus].append(_crawl_subprocess(low_cpus))
         if skip_scaling:
             break
-    crawl_high = max(runs[CPUS], key=lambda r: r["steady_urls_per_sec"])
+        runs[low_cpus].append(_crawl_subprocess(low_cpus))
+        done_min_reps = _rep + 1 >= reps
+        both_clean = all(
+            sum(1 for r in runs[lvl] if _steal_frac(r) < STEAL_FRAC_MAX) >= 2
+            for lvl in (CPUS, low_cpus)
+        )
+        if done_min_reps and both_clean:
+            break
+    crawl_high, high_clean = _pick(runs[CPUS])
 
     spark = _spark(CPUS)
-    qtimes: dict[str, float] = {}
     qs = E.queries()
+    # warm the session before timing: absorb JVM/codegen/session start-up in
+    # a throwaway action so per-query numbers measure plans, not warm-up
+    # (r2 verdict: cold-session artifacts inflated every query 2-25x)
+    qs[HEADLINE_QUERIES[0]](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    qtimes: dict[str, float] = {}
     for name in HEADLINE_QUERIES:
         t0 = time.monotonic()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -255,8 +332,16 @@ def main() -> None:
 
     scaling = None
     if not skip_scaling:
-        low = max(runs[low_cpus], key=lambda r: r["steady_urls_per_sec"])
+        low, low_clean = _pick(runs[low_cpus])
         ratio = CPUS / low_cpus
+
+        def eff(hi: float | None, lo: float | None, r: float = ratio) -> float | None:
+            if not hi or not lo:
+                return None
+            return round((hi / lo) / r, 3)
+
+        med_high = _median([r["steady_urls_per_sec"] for r in high_clean])
+        med_low = _median([r["steady_urls_per_sec"] for r in low_clean])
         scaling = {
             "low_cpus": low_cpus,
             "high_cpus": CPUS,
@@ -268,21 +353,41 @@ def main() -> None:
             "high_parse_pages_per_sec": crawl_high["parse_pages_per_sec"],
             "low_secs": low["secs"],
             "high_secs": crawl_high["secs"],
-            "efficiency": round(
-                (crawl_high["urls_per_sec"] / low["urls_per_sec"]) / ratio, 3
+            "efficiency": eff(crawl_high["urls_per_sec"], low["urls_per_sec"]),
+            "efficiency_steady": eff(
+                crawl_high["steady_urls_per_sec"], low["steady_urls_per_sec"]
             ),
-            "efficiency_steady": round(
-                (crawl_high["steady_urls_per_sec"] / low["steady_urls_per_sec"]) / ratio, 3
+            "efficiency_steady_median": eff(med_high, med_low),
+            "efficiency_parse": eff(
+                crawl_high["parse_pages_per_sec"], low["parse_pages_per_sec"]
             ),
-            "efficiency_parse": round(
-                (crawl_high["parse_pages_per_sec"] / low["parse_pages_per_sec"]) / ratio, 3
+            # steal-immune: urls per busy-CPU-second should be level-
+            # independent under perfect scaling (ratio 1.0 = efficiency 1.0)
+            "efficiency_cpu": eff(
+                crawl_high.get("urls_per_cpu_sec"), low.get("urls_per_cpu_sec"), 1.0
             ),
-            "reps": reps,
+            "reps_run": len(runs[CPUS]),
+            "clean_reps": {"high": len(high_clean), "low": len(low_clean)},
+            "steal_frac_max": STEAL_FRAC_MAX,
             "all_high_steady": [r["steady_urls_per_sec"] for r in runs[CPUS]],
             "all_low_steady": [r["steady_urls_per_sec"] for r in runs[low_cpus]],
-            "steal_jiffies": {
-                "low": [r.get("steal_jiffies_during") for r in runs[low_cpus]],
-                "high": [r.get("steal_jiffies_during") for r in runs[CPUS]],
+            "steal_frac": {
+                "low": [round(_steal_frac(r), 3) for r in runs[low_cpus]],
+                "high": [round(_steal_frac(r), 3) for r in runs[CPUS]],
+            },
+            "gc_ms": {
+                "low": [r.get("gc_ms") for r in runs[low_cpus]],
+                "high": [r.get("gc_ms") for r in runs[CPUS]],
+            },
+            "urls_per_cpu_sec": {
+                "low": [r.get("urls_per_cpu_sec") for r in runs[low_cpus]],
+                "high": [r.get("urls_per_cpu_sec") for r in runs[CPUS]],
+            },
+            # per-round stage breakdown of the chosen reps (pages_stage vs
+            # commit_writes) — localizes any level inversion to a stage
+            "round_timings": {
+                "low": low.get("round_timings"),
+                "high": crawl_high.get("round_timings"),
             },
         }
 
@@ -329,10 +434,14 @@ def _write_baseline_md(r: dict) -> None:
             f"| steady-state URLs/sec at local[{s['low_cpus']}] (N) | {s['low_steady_urls_per_sec']} |",
             f"| steady-state URLs/sec at local[{s['high_cpus']}] (4N) | {s['high_steady_urls_per_sec']} |",
             f"| steady-state scaling efficiency N->4N | {s['efficiency_steady']} |",
+            f"| steady-state efficiency, median of clean reps | {s.get('efficiency_steady_median')} |",
+            f"| **CPU-normalized efficiency (urls/busy-CPU-sec ratio)** | **{s.get('efficiency_cpu')}** |",
             f"| data-plane (fetch+parse kernel) pages/sec at N | {s['low_parse_pages_per_sec']} |",
             f"| data-plane pages/sec at 4N | {s['high_parse_pages_per_sec']} |",
             f"| **data-plane scaling efficiency N->4N** | **{s['efficiency_parse']}** |",
-            f"| hypervisor steal during runs (jiffies low/high) | {s['steal_jiffies']['low']} / {s['steal_jiffies']['high']} |",
+            f"| hypervisor steal fraction per rep (low/high) | {s['steal_frac']['low']} / {s['steal_frac']['high']} |",
+            f"| clean reps used (of {s['reps_run']} interleaved) | {s['clean_reps']} |",
+            f"| JVM GC ms per rep (low/high) | {s['gc_ms']['low']} / {s['gc_ms']['high']} |",
             "",
             "Steady state = rounds moving >=5% of the corpus; the BFS warm-up",
             "rounds are a constant serial prefix that vanishes at 10^10-URL",
@@ -340,8 +449,11 @@ def _write_baseline_md(r: dict) -> None:
             "is the crawl's compute kernel (scan + Arrow decode/absolutize/",
             "extract) without per-round driver coordination — the number that",
             "reflects executor scaling on a real cluster. This sandbox is a",
-            "shared-host microVM with measurable CPU steal (reported above);",
-            "crawl numbers are best-of-N reps to reduce that noise.",
+            "shared-host microVM with bursty CPU steal: reps are interleaved",
+            "high/low, reps above the steal threshold are excluded (audit",
+            "values above), and the CPU-normalized efficiency — urls per busy",
+            "CPU second, which stolen cycles cannot pollute — is reported",
+            "alongside wall-clock.",
         ]
     lines += [
         "",

@@ -31,6 +31,7 @@ class OracleTask:
     discovery_idx: int = 0
     method: str = "GET"
     status_allowed: list | None = None  # per-Request (http.py:101)
+    ignore_exception: bool = False  # task.py:51: failure skips the retry ladder
 
     @property
     def url_canon(self) -> str:
@@ -105,6 +106,7 @@ class OracleCrawl:
                 recrawl=int(s.get("recrawl", seed_recrawl)),
                 method=s.get("method", "GET"),
                 status_allowed=s.get("status_allowed"),
+                ignore_exception=bool(s.get("ignore_exception", False)),
                 discovery_idx=i,
             )
             if t.fingerprint in self.res.seen:
@@ -171,7 +173,7 @@ class OracleCrawl:
                 status == 200 or allowed == [] or (allowed is not None and status in allowed)
             )
             if not resp_ok:  # miss or disallowed status -> retry lifecycle
-                if tries_done <= self.max_tries:
+                if tries_done <= self.max_tries and not t.ignore_exception:
                     retries.append(
                         replace(t, tries=tries_done, exetime=now, dont_filter=True)
                     )
