@@ -44,7 +44,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # web pages are tens of KB each: small Arrow batches keep per-worker
         # peak memory (batch_rows x page_size x pandas overhead) bounded
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("ACRAWLER_ARROW_BATCH", "2048"),
+        )
         # parquet vectorized-reader batch: default 4096 rows x ~100 KB html
         # = ~400 MB of decompressed column batch PER TASK — at 32 concurrent
         # tasks that alone fills a mid-size heap and GC pauses invert the
