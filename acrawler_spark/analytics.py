@@ -642,6 +642,11 @@ def q_media_features(spark, sf_dir):
 # np.array_split chunking of n bytes into 8 parts: first (n % 8) chunks get
 # (n // 8 + 1) bytes, the rest (n // 8); std is two-pass population std,
 # matching np.std's float64 evaluation order to well past 6 decimals.
+# Chunk set is padded to EXACTLY 8 via a range(0,8) cross join (empty
+# chunks mean 0.0, matching the fake decoder's `c.mean() if c.size else
+# 0.0`), and a zeros row is emitted at n=0 (the decoder returns
+# np.zeros(8)) — so parity holds for payloads shorter than 8 bytes too,
+# not just the long fixture documents (ADVICE r3 #3).
 SQL_MEDIA_FEATURES = r"""
 WITH a AS (
   SELECT doc_id AS media_id, regexp_replace(text, '[^\x20-\x7e]', '', 'g') AS s
@@ -656,8 +661,13 @@ bytes AS (
               ELSE (n % 8) + (i - (n % 8) * ((n // 8) + 1)) // (n // 8) END AS chunk
   FROM b, unnest(range(0, n)) AS t(i)
 ),
-chunks AS (
+chunkmeans AS (
   SELECT media_id, chunk, avg(v) AS cm FROM bytes GROUP BY 1, 2
+),
+chunks AS (
+  SELECT b.media_id, t.ci AS chunk, coalesce(c.cm, 0.0) AS cm
+  FROM b CROSS JOIN unnest(range(0, 8)) AS t(ci)
+  LEFT JOIN chunkmeans c ON c.media_id = b.media_id AND c.chunk = t.ci
 ),
 m AS (SELECT media_id, avg(cm) AS fm, count(*) AS nf FROM chunks GROUP BY 1),
 st AS (
@@ -668,6 +678,85 @@ SELECT m.media_id, 'image' AS kind, b.n AS n_bytes,
        round(m.fm, 6) AS feat_mean, round(st.fstd, 6) AS feat_std,
        m.nf::INT AS n_frames
 FROM m JOIN st USING (media_id) JOIN b USING (media_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.5: MAX_REQUESTS_SPECIAL_HOST — substring-matched per-pattern caps,
+# min-combined, suppressing the uniform cap (counter.py:76-88; the operator
+# is politeness.budget_col — used here directly, so the driver gate checks
+# the production expression, not a re-derivation).
+# ---------------------------------------------------------------------------
+
+_SPECIALS = {"ite1": 4, "e1.t": 2, "site3": 1}  # 'site1.test' matches TWO
+# patterns (min wins = 2); 'site3.test' one; other hosts are unlimited
+# (uniform=0 -> budget 1<<30, every row admitted) — both operator paths.
+
+
+def q_special_host_budget(spark, sf_dir):
+    from acrawler_spark.operators.politeness import budget_col
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "host", F.concat(F.lit("site"), (F.col("user_id") % 8).cast("string"), F.lit(".test"))
+    )
+    w = Window.partitionBy("host").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("budget", budget_col(F.col("host"), 0, _SPECIALS))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("budget"))
+        .select("host", "event_id", "rn", "budget")
+    )
+
+
+SQL_SPECIAL_HOST_BUDGET = """
+WITH e AS (
+  SELECT event_id, value, 'site' || (user_id % 8)::VARCHAR || '.test' AS host
+  FROM events
+), b AS (
+  SELECT host, event_id, value,
+    CASE WHEN strpos(host,'ite1')>0 OR strpos(host,'e1.t')>0 OR strpos(host,'site3')>0
+      THEN least(CASE WHEN strpos(host,'ite1')>0 THEN 4 ELSE 1073741824 END,
+                 CASE WHEN strpos(host,'e1.t')>0 THEN 2 ELSE 1073741824 END,
+                 CASE WHEN strpos(host,'site3')>0 THEN 1 ELSE 1073741824 END)
+      ELSE 1073741824 END AS budget
+  FROM e
+), r AS (
+  SELECT host, event_id, budget,
+    row_number() OVER (PARTITION BY host ORDER BY value DESC, event_id ASC) AS rn
+  FROM b
+)
+SELECT host, event_id, rn, budget FROM r WHERE rn <= budget
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.7: follow_limit slice semantics (http.py:387-435: paginate/follow cap
+# the links taken per page, FIRST-k in document order) — the engine's
+# F.slice + posexplode shape (plans/engine.py follow branch) as a query.
+# ---------------------------------------------------------------------------
+
+def q_follow_limit_slice(spark, sf_dir, limit: int = 5):
+    docs = _t(spark, sf_dir, "documents")
+    links = F.regexp_extract_all(F.col("text"), F.lit("[a-z]{6,}"), F.lit(0))
+    return (
+        docs.select("doc_id", F.posexplode(F.slice(links, 1, limit)).alias("pos", "word"))
+        .select(
+            "doc_id",
+            "pos",
+            F.concat(F.lit("http://"), F.col("word"), F.lit(".test/")).alias("link"),
+        )
+    )
+
+
+SQL_FOLLOW_LIMIT_SLICE = """
+WITH l AS (
+  SELECT doc_id, (regexp_extract_all(text, '[a-z]{6,}'))[1:5] AS sl FROM documents
+)
+SELECT doc_id,
+       unnest(generate_series(0, len(sl)-1)) AS pos,
+       'http://' || unnest(sl) || '.test/' AS link
+FROM l
+WHERE len(sl) > 0
 """
 
 
@@ -693,4 +782,6 @@ REGISTRY: dict[str, tuple] = {
     "media_metadata": (q_media_metadata, SQL_MEDIA_METADATA),
     "media_frame_sample": (q_media_frame_sample, SQL_MEDIA_FRAME_SAMPLE),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
+    "special_host_budget": (q_special_host_budget, SQL_SPECIAL_HOST_BUDGET),
+    "follow_limit_slice": (q_follow_limit_slice, SQL_FOLLOW_LIMIT_SLICE),
 }

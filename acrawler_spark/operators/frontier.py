@@ -30,10 +30,12 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("dont_filter", T.BooleanType(), False),
         T.StructField("family", T.StringType(), True),
         # callback chain routing (http.py:102-104): which parse family's
-        # ItemSpecs apply to this row's response. Inherited by follow/
-        # paginate children (http.py:387-435: children take the parent's
-        # callback list), unlike `family` which resets to "Request" for
-        # followed links (parser.py:97: a fresh Request).
+        # ItemSpecs apply to this row's response. Whether children keep
+        # the parent's chain is config (CrawlConfig.follow_callbacks):
+        # the reference's paginate copies it (http.py:427-435) while bare
+        # follow/parse_links yield Request(link) with no callbacks
+        # (parser.py:97); `family` always resets to "Request" for
+        # followed links.
         T.StructField("callback_family", T.StringType(), True),
         T.StructField("ancestor", T.StringType(), True),
         T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
@@ -155,7 +157,11 @@ def candidates_from_links(
         "depth",
         F.lit(False).alias("dont_filter"),
         F.lit("Request").alias("family"),
-        # children inherit the parent's callback chain (http.py:387-435)
+        # the caller decides callback inheritance: the engine passes the
+        # parent's callback_family through for the paginate shape
+        # (http.py:427-435 copies callbacks) or NULLs it for the
+        # bare-follow shape (parser.py:97 yields Request(link) with no
+        # callbacks) — CrawlConfig.follow_callbacks
         "callback_family",
         "ancestor",
         "meta",

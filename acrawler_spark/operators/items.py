@@ -12,14 +12,17 @@ Reference semantics preserved:
 * ``css_divider`` splits a page into fragments, one item per fragment
   (http.py:437-449, parser.py:31-38) — posexplode of the fragment array.
 
-CSS selectors, two-tier: the two selector shapes the fixtures use —
+Selectors, two-tier: the two css shapes the fixtures use —
 ``tag.class::text`` and ``tag::attr(name)`` — compile to equivalent JVM
 regexp expressions (fast path; documented contract: well-formed,
 non-nested target tags, which CommonCrawl-style extraction pipelines
-normalize to upstream anyway). Any richer selector — descendant/child
-combinators, multiple classes, ``#id`` (e.g. ``div.a > span::text``) —
-falls back to an Arrow-batched pandas UDF over a stdlib-``html.parser``
-DOM (functions/css.py), the declared slow-path seam. ``ValueError`` is
+normalize to upstream anyway). Any richer rule — css with
+descendant/child combinators, multiple classes, ``#id`` (e.g.
+``div.a > span::text``), a bare-element rule (serialized outer HTML),
+or an xpath rule (``//div[@id="x"]/text()``, ``//a/@href`` — the
+reference accepts xpath interchangeably, item.py:318-332) — falls back
+to an Arrow-batched pandas UDF over a stdlib-``html.parser`` DOM
+(functions/css.py), the declared slow-path seam. ``ValueError`` is
 reserved for syntax neither tier parses.
 """
 
@@ -58,8 +61,9 @@ def _css_to_regex(selector: str) -> tuple[str, int]:
 class FieldRule:
     """One field of an item family.
 
-    rule: a css selector (``span.price::text``), or ``re:<pattern>`` for a
-    raw-regex rule (reference Rule dicts, item.py:240-277).
+    rule: a css selector (``span.price::text``), an xpath (leading ``/``,
+    e.g. ``//span[@class="price"]/text()``), or ``re:<pattern>`` for a
+    raw-regex rule (reference css/xpath/re rule dicts, item.py:240-277).
     getall: list-rule semantics (``[rule]`` in the reference).
     processors: chain of functions.processors specs.
     default: value when extraction yields nothing (item.py:258-266).
@@ -88,10 +92,10 @@ class FieldRule:
                 # unsupported selector still fails at spec-build time
                 from acrawler_spark.functions.css import (
                     make_select_udf,
-                    parse_selector,
+                    parse_rule,
                 )
 
-                parse_selector(self.rule)  # raises ValueError on bad syntax
+                parse_rule(self.rule)  # raises ValueError on bad syntax
                 if self.inline is not None:
                     raise ValueError(
                         "inline nested items require a regex-subset rule "

@@ -100,6 +100,16 @@ class CrawlConfig:
     broadcast_max_rows: int = 4_000_000
     in_pattern: str | None = None  # parse gate by response url (parser.py:62-73)
     follow_limit: int | None = None  # max followed links per page (http.py:387-435)
+    # Callback-chain inheritance for followed links (ADVICE r3 #2). In the
+    # reference only Response.paginate copies the parent's callbacks
+    # (http.py:427-435); Response.follow takes an explicit callback
+    # (default None) and Parser.parse_links yields bare Request(link)
+    # (parser.py:97). "inherit" (default) treats follow_patterns as the
+    # paginate shape — children keep the parent's callback_family, so a
+    # listing's ItemSpec also parses its pagination pages. "reset" is the
+    # bare-follow shape: children carry NO callback chain and
+    # callback_family-scoped ItemSpecs never fire on them.
+    follow_callbacks: str = "inherit"
     item_specs: list = field(default_factory=list)  # operators.items.ItemSpec per family
     # middleware: {"before_parse"|"after_parse": [(priority, fn(df, ctx) -> df)]}
     # — family-matched, priority-descending handler stages (middleware.py:70-186)
@@ -190,6 +200,10 @@ def build_fetch_join(
 
 class CrawlEngine:
     def __init__(self, spark: SparkSession, cfg: CrawlConfig, store: CheckpointStore):
+        if cfg.follow_callbacks not in ("inherit", "reset"):
+            raise ValueError(
+                f"follow_callbacks must be 'inherit' or 'reset': {cfg.follow_callbacks!r}"
+            )
         self.spark = spark
         self.cfg = cfg
         self.store = store
@@ -292,11 +306,16 @@ class CrawlEngine:
         # idempotent through the dupefilter — handlers.py:282-293)
         inbox_files: list[str] = []
         new_seed_rows = None
+        inbox_n = 0  # raw inbox url count — free at drain, bounds admitted
         if self.feeder is not None:
-            inbox_df, inbox_files = self.feeder.drain(rnd, now)
+            inbox_df, inbox_files, inbox_n = self.feeder.drain(rnd, now)
             if inbox_df is not None:
                 new_seed_rows = admit_new_candidates(inbox_df, seen, self.bloom).persist()
                 frontier = frontier.unionByName(new_seed_rows.select(*frontier.columns))
+        # a huge external seed drop must not be force-broadcast anywhere:
+        # the hint on new_seed_rows (candidate dedupe below) is proven only
+        # under the same threshold as the selected set
+        inbox_bounded = inbox_n <= cfg.broadcast_max_rows
 
         eligible = frontier.filter(F.col("exetime") <= F.lit(now))
 
@@ -345,16 +364,16 @@ class CrawlEngine:
             )
 
         # Broadcast bound: round_cap if set, else the committed frontier row
-        # count from the manifest (zero jobs) — an upper bound on this
-        # round's selected set (selected ⊆ eligible ⊆ frontier). Inbox
-        # seeds drained this round sit outside the bound; they are the
-        # redis-LPUSH analog — operator-fed trickles, not frontier-scale.
+        # count from the manifest (zero jobs) PLUS the raw inbox url count
+        # (free at drain) — together an upper bound on this round's
+        # selected set (selected ⊆ eligible ⊆ committed frontier ∪ inbox).
         # At a 10^10-row frontier the bound exceeds broadcast_max_rows and
         # the hint is withheld (AQE plans from runtime stats instead).
         if cfg.round_cap is not None:
             sel_bound = cfg.round_cap
         else:
             sel_bound, _ = self._frontier_stats()
+            sel_bound += inbox_n
         bounded = cfg.broadcast_selected and sel_bound <= cfg.broadcast_max_rows
         fetched = build_fetch_join(selected_ranked, corpus, frontier.columns, cfg, bounded)
         # ok (http.py:270-281): status==200 OR allowed==[] OR status IN
@@ -502,8 +521,14 @@ class CrawlEngine:
             links_col = F.col("links")
             if cfg.follow_limit is not None:
                 links_col = F.slice(links_col, 1, cfg.follow_limit)
+            cb_col = (
+                F.col("callback_family")
+                if cfg.follow_callbacks == "inherit"
+                else F.lit(None).cast("string")  # bare-follow (parser.py:97)
+            )
             link_src = pages.filter(F.col("links").isNotNull()).select(
-                "depth", "ancestor", "meta", "rank", "callback_family",
+                "depth", "ancestor", "meta", "rank",
+                cb_col.alias("callback_family"),
                 links_col.alias("links")
             )
             candidates = candidates_from_links(
@@ -517,8 +542,9 @@ class CrawlEngine:
                 # excludes this round's inbox seeds — drop candidates the
                 # inbox already admitted, or both rows would enter the
                 # frontier and the anti-join would later drop the pair.
+                seed_fps = new_seed_rows.select("fingerprint")
                 admitted = admitted.join(
-                    F.broadcast(new_seed_rows.select("fingerprint")),
+                    F.broadcast(seed_fps) if inbox_bounded else seed_fps,
                     "fingerprint",
                     "left_anti",
                 )
@@ -579,21 +605,33 @@ class CrawlEngine:
             # commit that admits the rows (scheduler.py:45-50).
             if not (cfg.follow_patterns or new_seed_rows is not None):
                 return 0
-            new_seen = admitted.select("fingerprint", F.lit(rnd).alias("added_round"))
+            new_seen = admitted.select(
+                "fingerprint",
+                F.lit(rnd).alias("added_round"),
+                F.lit(0).alias("_is_seed"),
+            )
             if new_seed_rows is not None:
                 new_seen = new_seen.unionByName(
-                    new_seed_rows.select("fingerprint", F.lit(rnd).alias("added_round"))
+                    new_seed_rows.select(
+                        "fingerprint",
+                        F.lit(rnd).alias("added_round"),
+                        F.lit(1).alias("_is_seed"),
+                    )
                 )
             obs_seen = Observation()
-            new_seen = new_seen.observe(obs_seen, F.count(F.lit(1)).alias("n"))
+            # admitted-vs-seed split rides the SAME write job (observe on a
+            # marker column, dropped before the write) — an inbox round runs
+            # exactly the job count of a non-inbox round, no standalone count
+            new_seen = new_seen.observe(
+                obs_seen,
+                F.count(F.lit(1)).alias("n"),
+                F.sum("_is_seed").alias("n_seed"),
+            ).drop("_is_seed")
             if self.bloom is not None:
                 new_seen = self.bloom.updating_scan(new_seen)
             self.store.write_delta("seen", rnd, new_seen, cap=self.bloom is None)
-            n = int(obs_seen.get["n"] or 0)
-            if new_seed_rows is not None:
-                # admitted-vs-seed split: seed rows were admitted pre-round
-                n -= new_seed_rows.count()  # tiny cached set
-            return n
+            got = obs_seen.get
+            return int(got["n"] or 0) - int(got["n_seed"] or 0)
 
         def _frontier_job() -> dict:
             # new frontier = frontier \ selected (\ robots-blocked) +

@@ -40,17 +40,21 @@ class SeedFeeder:
             if not f.startswith("_") and os.path.isfile(os.path.join(self.inbox, f))
         )
 
-    def drain(self, rnd: int, now: float) -> tuple[DataFrame | None, list[str]]:
+    def drain(self, rnd: int, now: float) -> tuple[DataFrame | None, list[str], int]:
         """Read pending seed files as frontier candidate rows (same schema
         as followed links — they go through the normal dedup admission).
 
-        Returns (df, files). The caller MUST call :meth:`consume` with the
-        file list only AFTER its round commit — so a crash between drain
-        and commit re-delivers the seeds (at-least-once; the dupefilter
-        makes re-delivery idempotent, scheduler.py:282-291)."""
+        Returns (df, files, n_urls). ``n_urls`` is the raw line count —
+        known driver-side for free, and an upper bound on the admitted
+        rows (admission only drops), so the engine can prove broadcast
+        bounds for inbox-fed rounds without a Spark action. The caller
+        MUST call :meth:`consume` with the file list only AFTER its round
+        commit — so a crash between drain and commit re-delivers the seeds
+        (at-least-once; the dupefilter makes re-delivery idempotent,
+        scheduler.py:282-291)."""
         files = self.pending_files()
         if not files:
-            return None, []
+            return None, [], 0
         urls: list[str] = []
         for f in files:
             with open(f) as fh:
@@ -61,7 +65,7 @@ class SeedFeeder:
                 seeds_frontier(self.spark, urls, now)
                 .withColumn("discovered_round", F.lit(rnd))
             )
-        return df, files
+        return df, files, len(urls)
 
     def consume(self, files: list[str]) -> None:
         """Move delivered files aside (SPOP semantics) — post-commit only."""

@@ -278,6 +278,90 @@ FROM bits
 SQL_DEDUP_SIMHASH = _simhash_sql()
 
 
+# SimHash near-dup PAIRS — the operator users actually run on the 64-bit
+# signatures: split each signature into four 16-bit bands; two docs become
+# a candidate pair iff they share at least one (band_index, band_value)
+# bucket (pigeonhole: any pair within Hamming distance 3 differs in at
+# most 3 bands, so at least one of 4 is identical — the candidate set is
+# EXACT for the threshold, never all-pairs); confirm with
+# popcount(hi^hi') + popcount(lo^lo') <= 3. Scale shape: the band join is
+# a shuffle on (band, value) — at 10^10 docs each bucket holds only true
+# near-dup clusters plus ~|docs|/2^16 random collisions per band, so the
+# join output is bounded by the duplicate mass, not |docs|^2.
+
+SIMHASH_PAIR_HAMMING_MAX = 3
+
+
+def _simhash_bands(sim: DataFrame) -> DataFrame:
+    mask = F.lit(65535)
+    return sim.select(
+        "doc_id",
+        "simhash_hi",
+        "simhash_lo",
+        F.posexplode(
+            F.array(
+                F.col("simhash_lo").bitwiseAND(mask),
+                F.shiftright("simhash_lo", 16).bitwiseAND(mask),
+                F.col("simhash_hi").bitwiseAND(mask),
+                F.shiftright("simhash_hi", 16).bitwiseAND(mask),
+            )
+        ).alias("band", "val"),
+    )
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    bands = _simhash_bands(q_dedup_simhash(spark, sf_dir))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash_hi").alias("hi_a"),
+            F.col("a.simhash_lo").alias("lo_a"),
+            F.col("b.simhash_hi").alias("hi_b"),
+            F.col("b.simhash_lo").alias("lo_b"),
+        )
+        .distinct()  # a pair may collide in several bands
+    )
+    hamming = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= SIMHASH_PAIR_HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+SQL_DEDUP_SIMHASH_PAIRS = f"""
+WITH sim AS ({SQL_DEDUP_SIMHASH}),
+bands AS (
+  SELECT doc_id, simhash_hi, simhash_lo, t.band,
+    CASE t.band WHEN 0 THEN simhash_lo & 65535 WHEN 1 THEN (simhash_lo >> 16) & 65535
+                WHEN 2 THEN simhash_hi & 65535 ELSE (simhash_hi >> 16) & 65535 END AS val
+  FROM sim, unnest(range(0, 4)) AS t(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash_hi AS hi_a, a.simhash_lo AS lo_a,
+         b.simhash_hi AS hi_b, b.simhash_lo AS lo_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       (bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)))::INT AS hamming
+FROM cand
+WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= {SIMHASH_PAIR_HAMMING_MAX}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -526,6 +610,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),

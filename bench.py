@@ -16,7 +16,12 @@ N vs 4N executors.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
-     SPARK_GRAFT_SKIP_SCALING=1 to skip the second run.
+     SPARK_GRAFT_SKIP_SCALING=1 to skip the second run,
+     SPARK_GRAFT_BENCH_BUDGET_S (default 1500) wall-clock budget — rep
+     pairs beyond the first two are added only while they fit,
+     SPARK_GRAFT_BENCH_MAX_REPS (default 5) interleaved pair cap,
+     SPARK_GRAFT_CORPUS_MULT (default 128; 384 = the 1.9M-page regime).
+Progressive state lands in BENCH/PARTIAL.json after every phase.
 
 Internal mode: ``python bench.py --crawl-only <cpus>`` prints a small JSON
 for one crawl run (used by the scaling comparison as a subprocess so each
@@ -46,6 +51,7 @@ HEADLINE_QUERIES = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
+    "dedup_simhash_pairs",
     "embedding_topk",
     "ann_lsh_buckets",
     "text_quality",
@@ -89,14 +95,16 @@ def run_crawl(spark, sf_dir: str, cpus: int) -> dict:
     from acrawler_spark.sources.store import CheckpointStore
 
     n_hosts = 32
-    # page count = documents x mult. 384 -> ~1.9M pages (~190 GB
-    # decompressed parse work) at sf0.1: after the linear-time absolutize
-    # landed the crawl parses tens of kilopages/sec, so smaller corpora are
-    # driver/commit-floor-bound at EVERY parallelism level (each round has
-    # a ~3-7 s fixed cost) and the ratio measures floors, not scaling. A
-    # 10^10-URL frontier's rounds move orders of magnitude more rows than
-    # any fixed round cost — the bench must be in that regime too.
-    mult = int(os.environ.get("SPARK_GRAFT_CORPUS_MULT", "384"))
+    # page count = documents x mult. Regime choice (r3 lesson): the corpus
+    # must be in the LARGE-ROUND regime (steady rounds ≥100k URLs) or the
+    # engine's ~1-3 s fixed per-round cost dominates and the scaling ratio
+    # measures floors — but mult=384 (~1.9M pages) made one full bench run
+    # exceed the driver's wall-clock budget (BENCH_r03 = rc 124, no data).
+    # Default 128 -> ~640k pages at sf0.1: steady rounds of ~131k and
+    # ~490k URLs (large-round regime preserved) at ~1/3 the wall cost, so
+    # the interleaved rep-pair policy completes inside the budget. The
+    # 1.9M-page regime stays available via SPARK_GRAFT_CORPUS_MULT=384.
+    mult = int(os.environ.get("SPARK_GRAFT_CORPUS_MULT", "128"))
     body_repeat = int(os.environ.get("SPARK_GRAFT_BODY_REPEAT", "64"))
     # fanout 8 -> ~6 BFS rounds at sf0.1 with thousands of URLs each: the
     # large-round regime a 10^10-URL frontier always operates in. (Deep
@@ -314,23 +322,34 @@ def run_all(cpus: int) -> dict:
     steal0 = _steal_jiffies()
     runs = [run_crawl(spark, SF_DIR, cpus) for _ in range(reps)]
     best = max(runs, key=lambda r: r["steady_urls_per_sec"])
-    best["parse_pages_per_sec"] = run_parse_probe(spark, SF_DIR)
+    # the parse probe is level-deterministic (fixed corpus, best-of-3,
+    # warm) — later reps of the same level skip it to save budget and the
+    # orchestrator reuses the first rep's value
+    if os.environ.get("SPARK_GRAFT_SKIP_PROBE") == "1":
+        best["parse_pages_per_sec"] = None
+    else:
+        best["parse_pages_per_sec"] = run_parse_probe(spark, SF_DIR)
     best["steal_jiffies_during"] = _steal_jiffies() - steal0
     best["reps"] = reps
     best["all_steady"] = [r["steady_urls_per_sec"] for r in runs]
     return best
 
 
-def _crawl_subprocess(cpus: int) -> dict:
-    """One crawl+probe measurement in a fresh JVM (own subprocess)."""
+def _crawl_subprocess(cpus: int, probe: bool = True) -> dict:
+    """One crawl(+probe) measurement in a fresh JVM (own subprocess)."""
     env = os.environ.copy()
     env["SPARK_GRAFT_BENCH_REPS"] = "1"
+    if not probe:
+        env["SPARK_GRAFT_SKIP_PROBE"] = "1"
+    t0 = time.monotonic()
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--crawl-only", str(cpus)],
         capture_output=True, text=True, env=env,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    r = json.loads(out.stdout.strip().splitlines()[-1])
+    r["subprocess_secs"] = round(time.monotonic() - t0, 1)
+    return r
 
 
 STEAL_FRAC_MAX = 0.08  # rep is "clean" if hypervisor steal < 8% of busy CPU
@@ -373,7 +392,16 @@ def main() -> None:
     # ratio) is immune to steal by construction — stolen jiffies are not
     # busy jiffies.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
-    max_reps = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPS", str(max(reps, 3))))
+    max_reps = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPS", "5"))
+    # Wall-clock budget (r3 lesson: the driver timeout produced rc=124 and
+    # ZERO committed evidence). The harness now degrades gracefully: the
+    # headline + first TWO interleaved rep pairs always run (the minimum
+    # for a median), further pairs run only while the measured cost of the
+    # last pair still fits; partial results land in BENCH/PARTIAL.json
+    # after every phase so even a hard kill leaves evidence on disk.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1500"))
+    t_start = time.monotonic()
+    reserve_s = 180.0  # queries + session start + baseline write
     # Scaling pair: N and 4N cores INSIDE the host's linear region. This
     # box's pure-CPU calibration (below) shows near-linear delivery up to
     # 16 threads (~0.95 efficiency 4->16) but only ~0.73 from 8->32 — an
@@ -384,11 +412,25 @@ def main() -> None:
     skip_scaling = os.environ.get("SPARK_GRAFT_SKIP_SCALING") == "1"
 
     # headline crawl at full width (the throughput the engine sustains on
-    # every vCPU the box offers)
+    # every vCPU the box offers). The first run also builds the shared
+    # corpus cache at full width. A steal-polluted headline (this is one
+    # unguarded rep — exactly what hit r3's 661 s outlier) is retried once
+    # if the budget affords it.
     headline = _crawl_subprocess(CPUS)
+    if (
+        _steal_frac(headline) >= STEAL_FRAC_MAX
+        and time.monotonic() - t_start + headline["subprocess_secs"]
+        < budget_s - reserve_s
+    ):
+        retry = _crawl_subprocess(CPUS)
+        headline = max(
+            (headline, retry), key=lambda r: r["steady_urls_per_sec"]
+        )
+    _write_partial({"phase": "headline", "headline": headline})
 
     runs: dict[int, list[dict]] = {hi_cpus: [], low_cpus: []}
     calib = None
+    budget_note = None
     if not skip_scaling:
         calib = {
             "low_ops_per_sec": round(_pure_cpu_ops_per_sec(low_cpus), 0),
@@ -399,16 +441,48 @@ def main() -> None:
             / (hi_cpus / low_cpus),
             3,
         )
+        pair_secs = 0.0
         for _rep in range(max_reps):
-            runs[hi_cpus].append(_crawl_subprocess(hi_cpus))
-            runs[low_cpus].append(_crawl_subprocess(low_cpus))
-            done_min_reps = _rep + 1 >= reps
+            first = _rep == 0
+            if not first:
+                # gate pairs 3..max_reps on the measured cost of the last
+                # pair; the first two pairs (the minimum for a median) are
+                # unconditional
+                elapsed = time.monotonic() - t_start
+                if _rep >= 2 and elapsed + pair_secs > budget_s - reserve_s:
+                    budget_note = (
+                        f"stopped after {_rep} pairs: elapsed {elapsed:.0f}s"
+                        f" + last pair {pair_secs:.0f}s would exceed budget"
+                        f" {budget_s:.0f}s - reserve {reserve_s:.0f}s"
+                    )
+                    break
+            t_pair = time.monotonic()
+            runs[hi_cpus].append(_crawl_subprocess(hi_cpus, probe=first))
+            runs[low_cpus].append(_crawl_subprocess(low_cpus, probe=first))
+            pair_secs = time.monotonic() - t_pair
+            _write_partial({
+                "phase": f"pair_{_rep + 1}",
+                "headline": headline,
+                "high": runs[hi_cpus],
+                "low": runs[low_cpus],
+            })
+            done_min_reps = _rep + 1 >= max(reps, 2)
             both_clean = all(
                 sum(1 for r in runs[lvl] if _steal_frac(r) < STEAL_FRAC_MAX) >= 2
                 for lvl in (hi_cpus, low_cpus)
             )
             if done_min_reps and both_clean:
                 break
+        # later reps skipped the deterministic probe — backfill from the
+        # first rep of the same level
+        for lvl in (hi_cpus, low_cpus):
+            probe_val = next(
+                (r["parse_pages_per_sec"] for r in runs[lvl]
+                 if r.get("parse_pages_per_sec")), None,
+            )
+            for r in runs[lvl]:
+                if not r.get("parse_pages_per_sec"):
+                    r["parse_pages_per_sec"] = probe_val
         crawl_high, high_clean = _pick(runs[hi_cpus])
     else:
         crawl_high, high_clean = headline, [headline]
@@ -480,6 +554,8 @@ def main() -> None:
             "reps_run": len(runs[hi_cpus]),
             "clean_reps": {"high": len(high_clean), "low": len(low_clean)},
             "steal_frac_max": STEAL_FRAC_MAX,
+            "bench_budget_s": budget_s,
+            "budget_note": budget_note,
             "all_high_steady": [r["steady_urls_per_sec"] for r in runs[hi_cpus]],
             "all_low_steady": [r["steady_urls_per_sec"] for r in runs[low_cpus]],
             "steal_frac": {
@@ -514,9 +590,35 @@ def main() -> None:
         "headline_steady_urls_per_sec": headline["steady_urls_per_sec"],
         "headline": {k: v for k, v in headline.items() if k != "round_timings"},
         "scaling": scaling,
+        "bench_wall_s": round(time.monotonic() - t_start, 1),
     }
     _write_baseline_md(result)
+    _write_partial({"phase": "final", **result})
     print(json.dumps(result))
+
+
+def _write_partial(state: dict) -> None:
+    """Progressive evidence (r3 lesson): after every bench phase the
+    current state lands in BENCH/PARTIAL.json, so a driver-side timeout
+    can never again leave ZERO committed perf data."""
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, "_PARTIAL.tmp")
+    slim = {
+        k: (
+            [{kk: vv for kk, vv in r.items() if kk != "round_timings"} for r in v]
+            if isinstance(v, list) and v and isinstance(v[0], dict)
+            else (
+                {kk: vv for kk, vv in v.items() if kk != "round_timings"}
+                if isinstance(v, dict) and "round_timings" in v
+                else v
+            )
+        )
+        for k, v in state.items()
+    }
+    with open(tmp, "w") as f:
+        json.dump(slim, f, indent=1)
+    os.replace(tmp, os.path.join(d, "PARTIAL.json"))
 
 
 def _write_baseline_md(r: dict) -> None:
