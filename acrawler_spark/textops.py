@@ -362,6 +362,93 @@ WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= {SIMHASH_PAIR_H
 """
 
 
+# Near-dup CLUSTERS — the step after pair generation in a real dedup
+# pipeline: connected components over the simhash pair graph, every doc
+# labeled with the minimum doc_id in its component (the conventional
+# "keep the representative, drop the rest" contract). Docs in no pair are
+# their own singleton cluster.
+#
+# Algorithm: HashMin label propagation — labels start as own id; each
+# iteration every vertex takes min(own, neighbors' labels); converged
+# when an iteration changes nothing. Iterations = component diameter,
+# and near-dup components are quasi-cliques (pairs within Hamming 3 are
+# mutually close), so diameter is tiny — 2-4 hops in practice. Scale
+# shape: each iteration is one shuffle of the EDGE list (bounded by the
+# duplicate mass, see the pair query) + a broadcast-sized label join;
+# at 10^10 docs the same loop is where large-star/small-star plugs in if
+# component diameters grow (they don't for near-dup graphs). The edge
+# list is persisted so the simhash pair computation runs once, not per
+# iteration. The convergence check rides the iteration's own
+# aggregation (one count per hop — a driver loop is inherent to
+# iterative CC; Spark has no fixpoint operator).
+
+def q_dedup_clusters(spark, sf_dir, max_iters: int = 20):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pairs = q_dedup_simhash_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()
+    )
+    # Every iteration MUST truncate lineage (localCheckpoint, eager) —
+    # persist() alone keeps the logical plan growing through the
+    # self-referential joins until planning itself blows up (the classic
+    # iterative-Spark failure). On a cluster with lost-executor concerns,
+    # swap for checkpoint() into the job's reliable checkpoint dir; the
+    # loop is otherwise unchanged.
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+            .groupBy("src").agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("src", "doc_id")
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("label", F.col("doc_id")).alias("cluster_id")
+    )
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({SQL_DEDUP_SIMHASH_PAIRS}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS doc_id, dst AS peer FROM edges
+  UNION
+  SELECT r.doc_id, e.dst AS peer FROM reach r JOIN edges e ON r.peer = e.src
+),
+lab AS (
+  SELECT doc_id, least(doc_id, min(peer)) AS cluster_id FROM reach GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN lab l USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -611,6 +698,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),

@@ -211,3 +211,28 @@ def test_simhash_pairs_identical_docs_distance_zero(spark, tmp_path):
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in q_dedup_simhash_pairs(spark, sf).collect()}
     assert pairs.get((0, 1)) == 0
     assert all(a == 0 and b == 1 for (a, b) in pairs)  # doc 2 pairs with nobody
+
+
+def test_dedup_clusters_label_propagation(spark, tmp_path):
+    """Connected components over the near-dup pair graph: a transitive
+    chain collapses to one cluster labeled by its min doc_id; untouched
+    docs are singleton clusters of themselves."""
+    from acrawler_spark.textops import q_dedup_clusters
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, base),
+        (1, base),                       # identical to 0
+        (2, base + " iota"),             # near 0/1 -> same component
+        (3, "totally unrelated content words here none shared"),
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    got = {r.doc_id: r.cluster_id for r in q_dedup_clusters(spark, sf).collect()}
+    assert got[0] == got[1] == 0
+    assert got[3] == 3  # singleton
+    # doc 2 joins the component iff its simhash landed within the pair
+    # threshold; either way the labeling is consistent
+    assert got[2] in (0, 2)
