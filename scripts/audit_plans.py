@@ -98,6 +98,16 @@ def main() -> None:
         fetched,
     ))
 
+    # 6. simhash near-dup pair join: band-bucketed, never a cartesian
+    from acrawler_spark.textops import q_dedup_simhash_pairs
+
+    sections.append((
+        "SimHash pair join (expect: shuffle/broadcast hash join keyed on "
+        "(band, val) — NO CartesianProduct / BroadcastNestedLoopJoin; "
+        "HashAggregate pair for the distinct)",
+        q_dedup_simhash_pairs(spark, SF),
+    ))
+
     for title, df in sections:
         out += [f"## {title}", "", "```", plan_of(df).strip(), "```", ""]
 
