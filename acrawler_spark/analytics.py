@@ -760,6 +760,68 @@ WHERE len(sl) > 0
 """
 
 
+# ---------------------------------------------------------------------------
+# §2.5 north-rule addition: robots.txt admission gate (operators/robots.py).
+# The driver query runs the PRODUCTION apply_robots split (broadcast rules,
+# JVM exists-over-prefixes) on an events-derived frontier and labels every
+# row allowed/blocked; the oracle re-derives the same prefix semantics in
+# SQL. Rules cover all operator paths: multi-prefix host, block-everything
+# prefix, empty disallow list, non-matching prefix, and hosts absent from
+# the rules table.
+# ---------------------------------------------------------------------------
+
+_ROBOTS_RULES = {
+    "site0.test": {"disallow": ["/p/1", "/p/3"]},
+    "site2.test": {"disallow": ["/p/"]},
+    "site4.test": {"disallow": []},
+    "site6.test": {"disallow": ["/x/"]},
+}
+
+
+def q_robots_gate(spark, sf_dir):
+    from acrawler_spark.operators.robots import apply_robots, rules_df
+
+    ev = _t(spark, sf_dir, "events").withColumn("url", _event_url_col())
+    frontier = ev.select(
+        "event_id",
+        canonicalize_col(F.col("url")).alias("url_canon"),
+        host_col(F.col("url")).alias("host"),
+    )
+    allowed, blocked = apply_robots(frontier, rules_df(spark, _ROBOTS_RULES))
+    return allowed.withColumn("blocked", F.lit(False)).unionByName(
+        blocked.withColumn("blocked", F.lit(True))
+    )
+
+
+SQL_ROBOTS_GATE = f"""
+WITH u AS (SELECT event_id, {_EVENT_URL_SQL} AS url FROM events),
+p AS (
+  SELECT event_id, url,
+         split_part(url, '#', 1) AS base,
+         split_part(split_part(url, '#', 1), '?', 1) AS pre
+  FROM u
+),
+c AS (
+  SELECT event_id,
+         CASE WHEN strpos(base, '?') > 0
+              THEN pre || '?' || array_to_string(list_sort(string_split(substr(base, strpos(base,'?') + 1), '&')), '&')
+              ELSE pre END AS url_canon,
+         split_part(split_part(url, '://', 2), '/', 1) AS host
+  FROM p
+),
+g AS (
+  SELECT event_id, url_canon, host,
+         regexp_replace(url_canon, '^https?://[^/]+', '') AS path
+  FROM c
+)
+SELECT event_id, url_canon, host,
+       (   (host = 'site0.test' AND (path LIKE '/p/1%' OR path LIKE '/p/3%'))
+        OR (host = 'site2.test' AND path LIKE '/p/%')
+        OR (host = 'site6.test' AND path LIKE '/x/%')) AS blocked
+FROM g
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql or None)
     "url_canonicalize": (q_url_canonicalize, SQL_URL_CANONICALIZE),
@@ -784,4 +846,5 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "special_host_budget": (q_special_host_budget, SQL_SPECIAL_HOST_BUDGET),
     "follow_limit_slice": (q_follow_limit_slice, SQL_FOLLOW_LIMIT_SLICE),
+    "robots_gate": (q_robots_gate, SQL_ROBOTS_GATE),
 }

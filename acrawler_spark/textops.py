@@ -362,6 +362,64 @@ WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= {SIMHASH_PAIR_H
 """
 
 
+# MinHash candidate PAIRS — the LSH retrieval op run on the signatures:
+# two docs are candidates iff they share at least one of the 3 bands
+# (band = md5 of 2 adjacent minhashes, so P[band collision] = s^2 for
+# Jaccard s; P[candidate] = 1-(1-s^2)^3 — the standard S-curve). The
+# estimated Jaccard is the fraction of the 6 minhash positions that
+# agree (the unbiased MinHash estimator). Scale shape: shuffle on
+# (band_idx, band_val) — identical to the simhash pair join; output
+# bounded by the near-dup mass plus md5-collision noise, never |docs|^2.
+
+def q_dedup_minhash_pairs(spark, sf_dir):
+    sig = q_dedup_minhash(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        *[F.col(f"mh{i}") for i in range(6)],
+        F.posexplode(F.array("band0", "band1", "band2")).alias("band", "val"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    n_eq = sum(
+        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
+        for i in range(6)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            n_eq.cast("int").alias("n_eq"),
+        )
+        .distinct()  # a pair may collide in several bands
+        .withColumn("est_jaccard", F.round(F.col("n_eq") / F.lit(6.0), 6))
+    )
+
+
+SQL_DEDUP_MINHASH_PAIRS = f"""
+WITH sig AS ({SQL_DEDUP_MINHASH}),
+bands AS (
+  SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, t.band,
+         CASE t.band WHEN 0 THEN band0 WHEN 1 THEN band1 ELSE band2 END AS val
+  FROM sig, unnest(range(0, 3)) AS t(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         ((a.mh0 = b.mh0)::INT + (a.mh1 = b.mh1)::INT + (a.mh2 = b.mh2)::INT
+          + (a.mh3 = b.mh3)::INT + (a.mh4 = b.mh4)::INT + (a.mh5 = b.mh5)::INT) AS n_eq
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, n_eq::INT AS n_eq, round(n_eq / 6.0, 6) AS est_jaccard
+FROM cand
+"""
+
+
 # Near-dup CLUSTERS — the step after pair generation in a real dedup
 # pipeline: connected components over the simhash pair graph, every doc
 # labeled with the minimum doc_id in its component (the conventional
@@ -561,6 +619,212 @@ FROM bits JOIN (SELECT bucket AS b2, count(*) AS bucket_size FROM bits GROUP BY 
 """
 
 
+# IVF (inverted-file) ANN — the second scale path beside hyperplane LSH:
+# a small set of coarse centroids partitions the vector space into cells;
+# every candidate is assigned to its nearest centroid (one broadcast join,
+# no shuffle of the candidate side beyond the per-vector argmin window);
+# a query probes only its ``nprobe`` nearest cells and brute-forces inside
+# them. At 10^9 vectors with 2^14 centroids and nprobe=8, each query
+# touches ~vectors/2^11 — the candidates⋈probes join is an equi-join on
+# cell id, so Spark shuffles on cell, never all-pairs. Centroids here are
+# a deterministic subset of the vectors (vec_id < N_CENTROIDS) — in
+# production they come from k-means (Spark ML) but the operator under
+# test is the assignment/probe/rerank topology, not the trainer.
+# Cosines are rounded to 4 decimals (summation-order safety) and every
+# argmin/top-k tie breaks on the id, so both engines rank identically.
+
+IVF_CENTROIDS = 4  # vec_id < 4
+IVF_QUERIES = 5    # vec_id in [4, 9)
+IVF_NPROBE = 2
+IVF_K = 3
+
+
+def _cosine(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return F.round(dot / (norm(a) * norm(b)), 4)
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < IVF_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    qs = emb.filter(
+        (F.col("vec_id") >= IVF_CENTROIDS)
+        & (F.col("vec_id") < IVF_CENTROIDS + IVF_QUERIES)
+    ).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q"))
+    cands = emb.filter(F.col("vec_id") >= IVF_CENTROIDS + IVF_QUERIES).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c")
+    )
+
+    # cell assignment: nearest centroid per candidate (broadcast centroids)
+    w_assign = Window.partitionBy("c_id").orderBy(
+        F.col("ccos").desc(), F.col("cent_id").asc()
+    )
+    assigned = (
+        cands.crossJoin(F.broadcast(cents))
+        .select("c_id", "c", "cent_id", _cosine(F.col("c"), F.col("cvec")).alias("ccos"))
+        .withColumn("arn", F.row_number().over(w_assign))
+        .filter(F.col("arn") == 1)
+        .select("c_id", "c", F.col("cent_id").alias("cell"))
+    )
+    # probe list: nprobe nearest centroids per query
+    w_probe = Window.partitionBy("q_id").orderBy(
+        F.col("qcos").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        qs.crossJoin(F.broadcast(cents))
+        .select("q_id", "q", "cent_id", _cosine(F.col("q"), F.col("cvec")).alias("qcos"))
+        .withColumn("prn", F.row_number().over(w_probe))
+        .filter(F.col("prn") <= IVF_NPROBE)
+        .select("q_id", "q", F.col("cent_id").alias("cell"))
+    )
+    # rerank inside probed cells only
+    w_k = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        probes.join(assigned, "cell")
+        .select("q_id", "c_id", _cosine(F.col("q"), F.col("c")).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w_k))
+        .filter(F.col("rank") <= IVF_K)
+        .select("q_id", "c_id", "cosine", "rank")
+    )
+
+
+SQL_ANN_IVF_TOPK = f"""
+WITH flat AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM flat GROUP BY vec_id),
+cos AS (
+  SELECT a.vec_id AS ida, b.vec_id AS idb,
+         round(sum(a.v * b.v) / (na.nrm * nb.nrm), 4) AS cosine
+  FROM flat a JOIN flat b ON a.i = b.i
+  JOIN norms na ON na.vec_id = a.vec_id
+  JOIN norms nb ON nb.vec_id = b.vec_id
+  GROUP BY 1, 2, na.nrm, nb.nrm
+),
+assigned AS (
+  SELECT ida AS c_id, idb AS cell FROM (
+    SELECT ida, idb,
+           row_number() OVER (PARTITION BY ida ORDER BY cosine DESC, idb ASC) AS arn
+    FROM cos WHERE ida >= {IVF_CENTROIDS + IVF_QUERIES} AND idb < {IVF_CENTROIDS}
+  ) WHERE arn = 1
+),
+probes AS (
+  SELECT ida AS q_id, idb AS cell FROM (
+    SELECT ida, idb,
+           row_number() OVER (PARTITION BY ida ORDER BY cosine DESC, idb ASC) AS prn
+    FROM cos WHERE ida >= {IVF_CENTROIDS} AND ida < {IVF_CENTROIDS + IVF_QUERIES}
+                AND idb < {IVF_CENTROIDS}
+  ) WHERE prn <= {IVF_NPROBE}
+)
+SELECT q_id, c_id, cosine, rank FROM (
+  SELECT p.q_id, a.c_id, c.cosine,
+         row_number() OVER (PARTITION BY p.q_id ORDER BY c.cosine DESC, a.c_id ASC) AS rank
+  FROM probes p JOIN assigned a USING (cell)
+  JOIN cos c ON c.ida = p.q_id AND c.idb = a.c_id
+) WHERE rank <= {IVF_K}
+"""
+
+
+# Composite corpus QUALITY GATE — the single-pass admission filter a
+# training-data pipeline runs before tokenization: length bounds, language
+# check, quality-score threshold, then exact-dedup canonicality (first
+# doc_id of each content group survives). One scan + one shuffle (the
+# dedup-key window); the reasons are evaluated in pipeline order so the
+# reject_reason histogram reads like the pipeline's funnel. Thresholds
+# reuse the component ops above (q_text_langid / q_text_quality /
+# q_dedup_exact) verbatim, so the gate is exactly their conjunction.
+
+def q_corpus_quality_gate(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    n_chars = F.length("text")
+    stop_ratio = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS))) / n_words
+    mean_wlen = (n_chars - (n_words - 1)) / n_words
+    quality = F.round(
+        F.least(F.lit(1.0), n_words / F.lit(50.0)) * 0.5
+        + F.least(F.lit(1.0), stop_ratio * 10) * 0.3
+        + F.when((mean_wlen >= 3) & (mean_wlen <= 10), 0.2).otherwise(0.0),
+        6,
+    )
+    key = F.md5(F.concat_ws(" ", F.slice(words, 1, 8)))
+    feat = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        quality.alias("quality"),
+        key.alias("_key"),
+    )
+    canonical = F.col("doc_id") == F.min("doc_id").over(
+        Window.partitionBy("_key")
+    )
+    reason = (
+        F.when((F.col("n_words") < 5) | (F.col("n_words") > 20000), "length")
+        .when(F.col("stop_ratio") < 0.05, "lang")
+        .when(F.col("quality") < 0.5, "quality")
+        .when(~canonical, "duplicate")
+    )
+    return feat.select(
+        "doc_id",
+        "n_words",
+        "stop_ratio",
+        "quality",
+        reason.alias("reject_reason"),
+        reason.isNull().alias("keep"),
+    )
+
+
+SQL_CORPUS_QUALITY_GATE = """
+WITH d AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         length(text) AS n_chars,
+         len(list_filter(string_split(text, ' '),
+                         w -> w IN ('the','a','of','to','and','in','is'))) AS n_stop,
+         md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS _key
+  FROM documents
+),
+f AS (
+  SELECT doc_id, n_words,
+         round(n_stop / n_words, 6) AS stop_ratio,
+         round(least(1.0, n_words / 50.0) * 0.5
+               + least(1.0, (n_stop / n_words) * 10) * 0.3
+               + CASE WHEN (n_chars - (n_words - 1)) / n_words >= 3
+                       AND (n_chars - (n_words - 1)) / n_words <= 10
+                      THEN 0.2 ELSE 0.0 END,
+               6) AS quality,
+         (doc_id = min(doc_id) OVER (PARTITION BY _key)) AS _canon
+  FROM d
+),
+r AS (
+  SELECT doc_id, n_words, stop_ratio, quality,
+         CASE WHEN n_words < 5 OR n_words > 20000 THEN 'length'
+              WHEN stop_ratio < 0.05 THEN 'lang'
+              WHEN quality < 0.5 THEN 'quality'
+              WHEN NOT _canon THEN 'duplicate' END AS reject_reason
+  FROM f
+)
+SELECT doc_id, n_words, stop_ratio, quality, reject_reason,
+       (reject_reason IS NULL) AS keep
+FROM r
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -698,9 +962,12 @@ REGISTRY: dict[str, tuple] = {
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
+    "dedup_minhash_pairs": (q_dedup_minhash_pairs, SQL_DEDUP_MINHASH_PAIRS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
+    "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
+    "corpus_quality_gate": (q_corpus_quality_gate, SQL_CORPUS_QUALITY_GATE),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),

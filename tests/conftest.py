@@ -12,3 +12,8 @@ from acrawler_spark.session import get_spark  # noqa: E402
 def spark():
     s = get_spark(app_name="acrawler_spark_tests", master="local[4]", shuffle_partitions=4)
     yield s
+
+
+@pytest.fixture(scope="session")
+def sf001():
+    return "/root/testdata/sf0.001"

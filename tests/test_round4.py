@@ -236,3 +236,114 @@ def test_dedup_clusters_label_propagation(spark, tmp_path):
     # doc 2 joins the component iff its simhash landed within the pair
     # threshold; either way the labeling is consistent
     assert got[2] in (0, 2)
+
+
+# -- round-4 additions: minhash pairs, IVF ANN, quality gate, robots gate --
+
+def test_minhash_pairs_identical_docs_full_agreement(spark, tmp_path):
+    """Identical docs share all 6 minhashes -> candidate pair with
+    n_eq=6, est_jaccard=1.0; an unrelated doc forms no pair."""
+    from acrawler_spark.textops import q_dedup_minhash_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base),
+        (1, base),
+        (2, "totally different content with no shared shingles at all now"),
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): (r.n_eq, r.est_jaccard)
+        for r in q_dedup_minhash_pairs(spark, sf).collect()
+    }
+    assert pairs[(0, 1)] == (6, 1.0)
+    assert all({a, b} == {0, 1} for (a, b) in pairs)
+
+
+def test_ann_ivf_is_subset_of_probed_cells_and_ranked(spark, tmp_path):
+    """IVF top-k returns k ranked rows per query, each candidate drawn
+    from the query's probed cells; on a corpus where every vector sits in
+    one obvious cell the result equals brute force over that cell."""
+    import numpy as np
+
+    from acrawler_spark.textops import (
+        IVF_CENTROIDS, IVF_K, IVF_QUERIES, q_ann_ivf_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    dim = 8
+    # 4 well-separated centroid directions, then queries/candidates near them
+    cents = np.eye(4, dim) * 10
+    rows = []
+    for i in range(4):                       # vec_id 0-3: centroids
+        rows.append((i, [float(x) for x in cents[i]]))
+    for i in range(IVF_QUERIES):             # vec_id 4-8: queries near cell i%4
+        v = cents[i % 4] + rng.randn(dim) * 0.1
+        rows.append((IVF_CENTROIDS + i, [float(x) for x in v]))
+    for i in range(24):                      # vec_id 9+: candidates near cell i%4
+        v = cents[i % 4] + rng.randn(dim) * 0.1
+        rows.append((IVF_CENTROIDS + IVF_QUERIES + i, [float(x) for x in v]))
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").coalesce(
+        1
+    ).write.parquet(f"{sf}/embeddings.parquet")
+
+    got = q_ann_ivf_topk(spark, sf).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.q_id, []).append(r)
+    for q_id, rs in by_q.items():
+        assert [r.rank for r in sorted(rs, key=lambda r: r.rank)] == list(
+            range(1, IVF_K + 1)
+        )
+        # query q sits in cell (q-4)%4; its top hits are candidates of the
+        # same cell (candidate c is in cell (c-9)%4)
+        for r in rs:
+            assert (r.c_id - IVF_CENTROIDS - IVF_QUERIES) % 4 == (q_id - IVF_CENTROIDS) % 4
+    assert len(by_q) == IVF_QUERIES
+
+
+def test_corpus_quality_gate_reasons(spark, tmp_path):
+    """Funnel order: length -> lang -> quality -> duplicate -> keep."""
+    from acrawler_spark.textops import q_corpus_quality_gate
+
+    good = ("the cat of a dog and the bird in a tree is near the house "
+            "and the day of the week is fine ") * 3
+    rows = [
+        (0, "too short"),                         # length
+        (1, "zz " * 200),                         # no stopwords -> lang
+        (2, good),                                # keep (canonical)
+        (3, good),                                # duplicate of 2
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    got = {r.doc_id: (r.reject_reason, r.keep) for r in q_corpus_quality_gate(spark, sf).collect()}
+    assert got[0] == ("length", False)
+    assert got[1] == ("lang", False)
+    assert got[2] == (None, True)
+    assert got[3] == ("duplicate", False)
+
+
+def test_robots_gate_blocks_by_prefix(spark, sf001):
+    """The production apply_robots split labels every frontier row; the
+    blocked set is exactly the prefix-matching rows of ruled hosts."""
+    from acrawler_spark.analytics import q_robots_gate
+
+    rows = q_robots_gate(spark, sf001).collect()
+    assert rows, "gate returned nothing"
+    for r in rows:
+        path = r.url_canon.split(".test", 1)[1]
+        if r.host == "site0.test":
+            expect = path.startswith("/p/1") or path.startswith("/p/3")
+        elif r.host == "site2.test":
+            expect = path.startswith("/p/")
+        elif r.host == "site6.test":
+            expect = path.startswith("/x/")
+        else:
+            expect = False
+        assert r.blocked == expect, (r.url_canon, r.host, r.blocked)
