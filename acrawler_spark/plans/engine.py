@@ -142,13 +142,15 @@ def build_fetch_join(
     JOIN SHAPE MATTERS: a plain `selected LEFT OUTER corpus` cannot
     broadcast its small (preserved) side, so Spark sort-merge-joins —
     shuffling the ENTIRE decompressed corpus every round, I/O-bound
-    work that scales with nothing. Instead:
+    work that scales with nothing. Instead this returns only
       hits   = corpus INNER JOIN broadcast(selected)  — the corpus
                scan streams through one stage (no shuffle), DPP prunes
-               its bucket partitions from the broadcast values;
-      misses = selected LEFT ANTI corpus[url columns]  — a column-
-               pruned scan of the join keys only (never decompresses
-               html); AQE broadcasts whichever side is small.
+               its bucket partitions from the broadcast values
+    and misses are derived AFTER the hits delta is written, by
+    anti-joining the (cached) selected set against the round's own
+    written fingerprints (see ``build_misses``): O(selected) work with
+    no second corpus scan and no sort — at web scale the corpus
+    key-space is unbounded but the round's output is not.
     The broadcast hint is applied only when ``bounded`` proved the
     selected set small (see CrawlConfig.broadcast_selected)."""
     right = corpus.withColumnRenamed("url", "c_url")
@@ -183,19 +185,33 @@ def build_fetch_join(
         ["c_status"] if has_status else []
     )
     hits = right.join(sel_side, cond, "inner").select(*sel_cols, *page_cols)
-    key_cols = [c for c in ("c_url", "c_method", "c_bucket") if c in right.columns]
+    return hits.withColumn("status", hit_status)
+
+
+def build_misses(
+    selected_ranked: DataFrame,
+    hit_fps: DataFrame,
+    frontier_cols: list,
+    bounded: bool,
+) -> DataFrame:
+    """selected \\ hits == selected \\ corpus (the fetch-join is inner on
+    the selected keys), so corpus misses fall out of the round's OWN
+    written delta: anti-join the cached selected set against the hit
+    fingerprints that were just written. No corpus key-space scan, no
+    sort — ``hit_fps`` is a single-column scan of the round's pages
+    delta, broadcast under the same proven bound as the selected side
+    (|hits| <= |selected| <= bound). A miss is always status 404 with a
+    null body (http.py:270-281: a fetch exception, never ok)."""
+    fps = F.broadcast(hit_fps) if bounded else hit_fps
     miss_nulls = [
         F.lit(None).cast("string").alias("c_url"),
         F.lit(None).cast("binary").alias("html"),
         F.lit(None).cast("string").alias("encoding"),
         F.lit(None).cast("string").alias("lang"),
-    ] + ([F.lit(None).cast("int").alias("c_status")] if has_status else [])
-    misses = selected_ranked.join(right.select(*key_cols), cond, "left_anti").select(
-        *sel_cols, *miss_nulls
-    )
-    return hits.unionByName(misses).withColumn(
-        "status", F.when(F.col("c_url").isNotNull(), hit_status).otherwise(F.lit(404))
-    )
+    ]
+    return selected_ranked.join(fps, "fingerprint", "left_anti").select(
+        *frontier_cols, "rank", *miss_nulls
+    ).withColumn("status", F.lit(404))
 
 
 class CrawlEngine:
@@ -376,6 +392,7 @@ class CrawlEngine:
             sel_bound += inbox_n
         bounded = cfg.broadcast_selected and sel_bound <= cfg.broadcast_max_rows
         fetched = build_fetch_join(selected_ranked, corpus, frontier.columns, cfg, bounded)
+
         # ok (http.py:270-281): status==200 OR allowed==[] OR status IN
         # allowed; the per-request status_allowed column overrides the crawl
         # config (NULL -> config default). A corpus miss is a fetch
@@ -392,97 +409,126 @@ class CrawlEngine:
             | F.array_contains(F.col("status_allowed"), F.col("status"))
         )
         ok_col = F.when(F.col("status_allowed").isNotNull(), row_ok).otherwise(cfg_ok)
-        fetched = fetched.withColumn("ok", ok_col & F.col("c_url").isNotNull())
-        fetched = fetched.withColumn("tries_done", F.col("tries") + 1)
 
-        # handler middleware, position 1 = before execution (task.py:137-139).
-        # Control-flow exceptions are columnar flags a handler may set
-        # (exceptions.py:1-43):
-        #   _skip     -> SkipTaskError: no parse/items/links, counted success
-        #   _defer_s  -> ReScheduleError(defer): re-enqueued at now+defer_s,
-        #                dont_filter, tries kept incremented (task.py:120 —
-        #                the increment precedes the raise), NOT counted
-        fetched = self._apply_handlers("before_parse", fetched, rnd)
-        defer_col = (
-            F.coalesce(F.col("_defer_s").cast("double"), F.lit(0.0))
-            if "_defer_s" in fetched.columns
-            else F.lit(0.0)
-        )
-        skip_col = (
-            F.coalesce(F.col("_skip").cast("boolean"), F.lit(False))
-            if "_skip" in fetched.columns
-            else F.lit(False)
-        )
-        fetched = fetched.withColumn("defer_s", defer_col).withColumn("skipped", skip_col)
-        # skipped rows count as success (crawler.py:85-86 + counter flag 1);
-        # deferred rows are neither success nor failure (flag -2)
-        fetched = fetched.withColumn(
-            "ok", (F.col("ok") | F.col("skipped")) & (F.col("defer_s") <= 0)
-        )
+        def _stage(src: DataFrame) -> tuple[DataFrame, Observation]:
+            """The page-staging pipeline, shared by the hits branch and the
+            (post-write) misses branch so middleware, flag derivation, and
+            counters are row-wise identical to the old single-union plan."""
+            df = src.withColumn("ok", ok_col & F.col("c_url").isNotNull())
+            df = df.withColumn("tries_done", F.col("tries") + 1)
 
-        # parse gate: only ok, unskipped pages matching in_pattern are parsed
-        # (parser.py:62-73); masked JVM-side by nulling html so the Arrow
-        # UDF sees one batch stream and skips gated rows for free
-        parse_gate = F.col("ok") & ~F.col("skipped")
-        if cfg.in_pattern:
-            parse_gate = parse_gate & F.col("url_canon").rlike(cfg.in_pattern)
+            # handler middleware, position 1 = before execution
+            # (task.py:137-139). Control-flow exceptions are columnar flags
+            # a handler may set (exceptions.py:1-43):
+            #   _skip    -> SkipTaskError: no parse/items/links, counted ok
+            #   _defer_s -> ReScheduleError(defer): re-enqueued at
+            #               now+defer_s, dont_filter, tries kept incremented
+            #               (task.py:120 — the increment precedes the
+            #               raise), NOT counted
+            df = self._apply_handlers("before_parse", df, rnd)
+            defer_col = (
+                F.coalesce(F.col("_defer_s").cast("double"), F.lit(0.0))
+                if "_defer_s" in df.columns
+                else F.lit(0.0)
+            )
+            skip_col = (
+                F.coalesce(F.col("_skip").cast("boolean"), F.lit(False))
+                if "_skip" in df.columns
+                else F.lit(False)
+            )
+            df = df.withColumn("defer_s", defer_col).withColumn("skipped", skip_col)
+            # skipped rows count as success (crawler.py:85-86 + counter
+            # flag 1); deferred rows are neither success nor failure (-2)
+            df = df.withColumn(
+                "ok", (F.col("ok") | F.col("skipped")) & (F.col("defer_s") <= 0)
+            )
 
-        # stage the round's page-level result ONCE: a single heavy job runs
-        # fetch-join + Arrow parse and writes the `pages` delta with html
+            # parse gate: only ok, unskipped pages matching in_pattern are
+            # parsed (parser.py:62-73); masked JVM-side by nulling html so
+            # the Arrow UDF sees one batch stream, skipping gated rows free
+            parse_gate = F.col("ok") & ~F.col("skipped")
+            if cfg.in_pattern:
+                parse_gate = parse_gate & F.col("url_canon").rlike(cfg.in_pattern)
+
+            staged = df.select(
+                *frontier.columns,
+                "rank",
+                "status",
+                "ok",
+                "defer_s",
+                "skipped",
+                "tries_done",
+                "lang",
+                F.coalesce(F.length("html"), F.lit(0)).cast("long").alias("bytes"),
+                self._parse_udf(
+                    F.when(parse_gate, F.col("html")),
+                    F.col("encoding"),
+                    F.col("url_canon"),
+                ).alias("parsed"),
+            ).select(
+                "*",
+                F.col("parsed.text").alias("text"),
+                F.col("parsed.links").alias("links"),
+            ).drop("parsed").withColumn("round", F.lit(rnd))
+            # position 2 = after execution (task.py:144-147) — applied
+            # before staging, so the written pages delta is the canonical
+            # post-middleware page state and the virtual
+            # items/fetch_log/failed views (plans/views.py) see handler
+            # effects
+            staged = self._apply_handlers("after_parse", staged, rnd)
+            # terminal-failure flag materialized so the failed view is
+            # config-free; ignore_exception short-circuits the retry ladder
+            # (task.py:51)
+            staged = staged.withColumn(
+                "final_fail",
+                ~F.col("ok")
+                & (F.col("defer_s") <= 0)
+                & ((F.col("tries_done") > cfg.max_tries) | F.col("ignore_exception")),
+            )
+            # round counters ride the staging job via observe() — no
+            # separate aggregation job (VERDICT r1: per-round driver-job
+            # count was the scaling-efficiency floor)
+            obs = Observation()
+            staged = staged.observe(
+                obs,
+                F.count(F.lit(1)).alias("n_selected"),
+                F.sum(F.col("ok").cast("long")).alias("n_ok"),
+                F.sum(F.col("final_fail").cast("long")).alias("n_failed"),
+                F.sum((F.col("defer_s") > 0).cast("long")).alias("n_defer_user"),
+            )
+            return staged, obs
+
+        # stage the round's page-level result: ONE heavy job runs
+        # fetch-join + Arrow parse and writes the hits delta with html
         # DROPPED (text+links kept). Every downstream consumer (items,
         # fetch_log, candidates, retry/recrawl, metrics) is a column-pruned
         # scan of this delta — the UDF runs exactly once per page and no
         # multi-hundred-MB cache blocks churn the executors.
-        pages_staged = fetched.select(
-            *frontier.columns,
-            "rank",
-            "status",
-            "ok",
-            "defer_s",
-            "skipped",
-            "tries_done",
-            "lang",
-            F.coalesce(F.length("html"), F.lit(0)).cast("long").alias("bytes"),
-            self._parse_udf(
-                F.when(parse_gate, F.col("html")), F.col("encoding"), F.col("url_canon")
-            ).alias("parsed"),
-        ).select(
-            "*",
-            F.col("parsed.text").alias("text"),
-            F.col("parsed.links").alias("links"),
-        ).drop("parsed").withColumn("round", F.lit(rnd))
-        # position 2 = after execution (task.py:144-147) — applied before
-        # staging, so the written pages delta is the canonical
-        # post-middleware page state and the virtual items/fetch_log/failed
-        # views (plans/views.py) see handler effects
-        pages_staged = self._apply_handlers("after_parse", pages_staged, rnd)
-        # terminal-failure flag materialized so the failed view is config-
-        # free; ignore_exception short-circuits the retry ladder (task.py:51)
-        pages_staged = pages_staged.withColumn(
-            "final_fail",
-            ~F.col("ok")
-            & (F.col("defer_s") <= 0)
-            & ((F.col("tries_done") > cfg.max_tries) | F.col("ignore_exception")),
-        )
-        # round counters ride the staging job via observe() — no separate
-        # aggregation job (VERDICT r1: per-round driver-job count was the
-        # scaling-efficiency floor)
-        obs_pages = Observation()
-        pages_staged = pages_staged.observe(
-            obs_pages,
-            F.count(F.lit(1)).alias("n_selected"),
-            F.sum(F.col("ok").cast("long")).alias("n_ok"),
-            F.sum(F.col("final_fail").cast("long")).alias("n_failed"),
-            F.sum((F.col("defer_s") > 0).cast("long")).alias("n_defer_user"),
-        )
+        pages_staged, obs_pages = _stage(fetched)
         self.store.write_delta("pages", rnd, pages_staged)
-        pstats = obs_pages.get
-        n_selected = int(pstats["n_selected"] or 0)
-        n_ok = int(pstats["n_ok"] or 0)
-        n_failed_final = int(pstats["n_failed"] or 0)
-        n_defer_user = int(pstats["n_defer_user"] or 0)
-        n_retries = n_selected - n_ok - n_failed_final - n_defer_user
         tick("pages_stage")
+
+        # misses staged SECOND, against the round's own output: the old
+        # in-stage `selected LEFT ANTI corpus[keys]` union branch re-scanned
+        # the corpus key-space and sort-merge-shuffled the full-width
+        # selected set every round — measured at ~2x the whole pages-stage
+        # CPU at 16 cores for a (steady-state) empty result. The anti-join
+        # against written hit fingerprints is O(selected), broadcast under
+        # the same proven bound, and appends a usually-empty second file.
+        hit_fps = self.store.read_delta_one("pages", rnd).select("fingerprint")
+        miss_staged, obs_miss = _stage(
+            build_misses(selected_ranked, hit_fps, frontier.columns, bounded)
+        )
+        self.store.append_delta(
+            "pages", rnd, miss_staged.select(*[F.col(c) for c in pages_staged.columns])
+        )
+        pstats, mstats = obs_pages.get, obs_miss.get
+        n_selected = int(pstats["n_selected"] or 0) + int(mstats["n_selected"] or 0)
+        n_ok = int(pstats["n_ok"] or 0) + int(mstats["n_ok"] or 0)
+        n_failed_final = int(pstats["n_failed"] or 0) + int(mstats["n_failed"] or 0)
+        n_defer_user = int(pstats["n_defer_user"] or 0) + int(mstats["n_defer_user"] or 0)
+        n_retries = n_selected - n_ok - n_failed_final - n_defer_user
+        tick("misses_stage")
         pages = self.store.read_delta_one("pages", rnd)
 
         # items / fetch_log / failed are VIRTUAL — projections of the pages

@@ -43,11 +43,26 @@ def get_spark(
         # Arrow for all pandas-UDF boundaries (input_hint: no per-row Python).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # web pages are tens of KB each: small Arrow batches keep per-worker
-        # peak memory (batch_rows x page_size x pandas overhead) bounded
+        # peak memory (batch_rows x page_size x pandas overhead) bounded.
+        # ALSO a liveness bound: Spark 4.1's PythonRunner multiplexes
+        # read+write on the task thread over a ~4 MB-buffered local socket;
+        # if a worker's per-batch OUTPUT exceeds the socket buffer while the
+        # JVM still has input batches queued, both sides can block on full
+        # buffers (observed: worker Recv-Q 33 MB, both Send-Qs ~4 MB, zero
+        # CPU — a permanently hung task). 256 rows x ~4 KB parse output
+        # ≈ 1 MB/batch stays under the buffer, so the worker's send always
+        # completes and it returns to draining its input.
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
-            os.environ.get("ACRAWLER_ARROW_BATCH", "2048"),
+            os.environ.get("ACRAWLER_ARROW_BATCH", "256"),
         )
+        # safety net for the same stall class: re-launch a straggling task
+        # copy instead of wedging the stage (pure UDFs + commit protocol
+        # make speculative duplicates safe)
+        .config("spark.speculation", "true")
+        .config("spark.speculation.interval", "5s")
+        .config("spark.speculation.multiplier", "4")
+        .config("spark.speculation.quantile", "0.9")
         # parquet vectorized-reader batch: default 4096 rows x ~100 KB html
         # = ~400 MB of decompressed column batch PER TASK — at 32 concurrent
         # tasks that alone fills a mid-size heap and GC pauses invert the

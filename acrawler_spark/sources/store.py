@@ -110,6 +110,14 @@ class CheckpointStore:
         d = self._capped(df, table) if cap else df
         d.write.mode("overwrite").parquet(self._delta_path(table, rnd))
 
+    def append_delta(self, table: str, rnd: int, df: DataFrame) -> None:
+        """Append a second file set into an already-staged round delta
+        (e.g. the pages misses written after the hits). Crash-safe under
+        the same protocol: an uncommitted round's whole delta dir is
+        dropped by abort_uncommitted()."""
+        assert table in APPEND_TABLES, table
+        df.write.mode("append").parquet(self._delta_path(table, rnd))
+
     def write_frontier(self, rnd: int, df: DataFrame) -> None:
         self._capped(df).write.mode("overwrite").parquet(self._frontier_path(rnd))
 

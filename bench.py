@@ -368,18 +368,34 @@ def run_all(cpus: int) -> dict:
 
 
 def _crawl_subprocess(cpus: int, probe: bool = True) -> dict:
-    """One crawl(+probe) measurement in a fresh JVM (own subprocess)."""
+    """One crawl(+probe) measurement in a fresh JVM (own subprocess).
+
+    Hard per-rep timeout (SPARK_GRAFT_CRAWL_TIMEOUT_S, default 1200 s): a
+    wedged rep (e.g. the Python-runner socket deadlock, see session.py) is
+    killed and recorded as ``hung`` — excluded from clean-rep selection —
+    instead of wedging the whole harness into the driver's rc=124."""
     env = os.environ.copy()
     env["SPARK_GRAFT_BENCH_REPS"] = "1"
     if not probe:
         env["SPARK_GRAFT_SKIP_PROBE"] = "1"
+    timeout_s = float(os.environ.get("SPARK_GRAFT_CRAWL_TIMEOUT_S", "1200"))
     t0 = time.monotonic()
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--crawl-only", str(cpus)],
-        capture_output=True, text=True, env=env,
-        cwd=os.path.dirname(os.path.abspath(__file__)),
-    )
-    r = json.loads(out.stdout.strip().splitlines()[-1])
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--crawl-only", str(cpus)],
+            capture_output=True, text=True, env=env, timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+    except (subprocess.TimeoutExpired, json.JSONDecodeError, IndexError) as e:
+        r = {
+            "hung": True, "err": type(e).__name__,
+            "fetched": 0, "ok": 0, "secs": round(time.monotonic() - t0, 1),
+            "urls_per_sec": 0.0, "rounds": 0, "steady_urls": 0,
+            "steady_secs": 0.0, "steady_urls_per_sec": 0.0, "gc_ms": None,
+            "cpu_busy_s": 0.0, "urls_per_cpu_sec": None, "steal_jiffies": 0,
+            "parse_pages_per_sec": None, "round_timings": [],
+        }
     r["subprocess_secs"] = round(time.monotonic() - t0, 1)
     return r
 
@@ -406,14 +422,15 @@ def _pick(reps: list[dict]) -> tuple[dict, list[dict]]:
     best was storm-damaged regardless of its steal reading. Fallbacks
     (never empty, always recorded in the audit trail): steal-clean only,
     then all reps."""
-    best_cpu = max((r.get("urls_per_cpu_sec") or 0) for r in reps)
+    live = [r for r in reps if not r.get("hung")] or list(reps)
+    best_cpu = max((r.get("urls_per_cpu_sec") or 0) for r in live)
     clean = [
         r
-        for r in reps
+        for r in live
         if _steal_frac(r) < STEAL_FRAC_MAX
         and (r.get("urls_per_cpu_sec") or 0) >= CPU_EFF_MIN * best_cpu
     ]
-    clean = clean or [r for r in reps if _steal_frac(r) < STEAL_FRAC_MAX] or list(reps)
+    clean = clean or [r for r in live if _steal_frac(r) < STEAL_FRAC_MAX] or live
     return max(clean, key=lambda r: r["steady_urls_per_sec"]), clean
 
 
@@ -520,7 +537,10 @@ def main() -> None:
             })
             done_min_reps = _rep + 1 >= max(reps, 2)
             both_clean = all(
-                sum(1 for r in runs[lvl] if _steal_frac(r) < STEAL_FRAC_MAX) >= 2
+                sum(
+                    1 for r in runs[lvl]
+                    if not r.get("hung") and _steal_frac(r) < STEAL_FRAC_MAX
+                ) >= 2
                 for lvl in (hi_cpus, low_cpus)
             )
             if done_min_reps and both_clean:

@@ -120,26 +120,45 @@ def main() -> int:
         "parse": lambda: parsed.select(F.sum(F.length("text"))).first(),
     }
 
-    out = {"cpus": cpus, "n_pages": n_pages, "n_selected": n_sel, "layers": {}}
+    block = os.environ.get("PROBE_PARQUET_BLOCK")
+    if block:
+        spark.conf.set("parquet.block.size", block)
+
+    out = {
+        "cpus": cpus, "n_pages": n_pages, "n_selected": n_sel,
+        "parquet_block": block, "runs": [],
+    }
     for name in layers:
+        gc0 = bench._jvm_gc_ms(spark)
         if name == "write":
             d = tempfile.mkdtemp(prefix="acrawler_probe_write_")
             b0, s0, t0 = _busy_jiffies(), _steal_jiffies(), time.monotonic()
-            parsed.write.mode("overwrite").parquet(os.path.join(d, "pages"))
+            w = parsed.write.mode("overwrite")
+            if block:
+                w = w.option("parquet.block.size", block)
+            w.parquet(os.path.join(d, "pages"))
             secs = time.monotonic() - t0
             b1, s1 = _busy_jiffies(), _steal_jiffies()
+            out_mb = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _dd, fs in os.walk(d) for f in fs
+            ) / 1e6
             shutil.rmtree(d, ignore_errors=True)
         else:
+            out_mb = None
             b0, s0, t0 = _busy_jiffies(), _steal_jiffies(), time.monotonic()
             plans[name]()
             secs = time.monotonic() - t0
             b1, s1 = _busy_jiffies(), _steal_jiffies()
-        out["layers"][name] = {
+        out["runs"].append({
+            "layer": name,
             "secs": round(secs, 2),
             "cpu_busy_s": round((b1 - b0) / 100.0, 1),
             "steal_s": round((s1 - s0) / 100.0, 1),
+            "gc_ms": bench._jvm_gc_ms(spark) - gc0,
+            "out_mb": round(out_mb, 1) if out_mb else None,
             "urls_per_sec": round(n_sel / secs, 1),
-        }
+        })
     print(json.dumps(out))
     return 0
 
