@@ -956,6 +956,252 @@ FROM n
 """
 
 
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality rules): duplicate-word fraction,
+# most-frequent-word share, duplicate-bigram fraction. All counts are
+# integers (hash-stable across engines); fractions are round(.,6)
+# derivatives. Physical shape: one explode, one partial-agg'd
+# groupBy(doc_id, w), one lead() window partitioned by doc_id — every
+# shuffle is keyed by doc_id, so it scales with corpus size, never with a
+# global key.
+# ---------------------------------------------------------------------------
+
+def q_text_repetition(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    big = w.select(
+        "doc_id",
+        F.concat_ws(" ", "w", F.lead("w", 1).over(win)).alias("bg"),
+        F.lead("w", 1).over(win).alias("_ok"),
+    ).filter(F.col("_ok").isNotNull())
+    wstats = (
+        w.groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count("*").alias("n_distinct_words"),
+            F.max("c").alias("top_word_n"),
+        )
+    )
+    bstats = big.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.countDistinct("bg").alias("n_distinct_bigrams"),
+    )
+    return wstats.join(bstats, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        "top_word_n",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        F.coalesce(F.col("n_distinct_bigrams"), F.lit(0)).alias("n_distinct_bigrams"),
+        F.round(1 - F.col("n_distinct_words") / F.col("n_words"), 6).alias(
+            "dup_word_frac"
+        ),
+        F.round(F.col("top_word_n") / F.col("n_words"), 6).alias("top_word_frac"),
+    )
+
+
+SQL_TEXT_REPETITION = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents
+),
+wc AS (
+  SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2
+),
+ws AS (
+  SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct_words,
+         max(c) AS top_word_n
+  FROM wc GROUP BY 1
+),
+bg AS (
+  SELECT doc_id,
+         w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS bg,
+         lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS _ok
+  FROM w
+),
+bs AS (
+  SELECT doc_id, count(*) AS n_bigrams, count(DISTINCT bg) AS n_distinct_bigrams
+  FROM bg WHERE _ok IS NOT NULL GROUP BY 1
+)
+SELECT ws.doc_id,
+       ws.n_words::BIGINT AS n_words,
+       ws.n_distinct_words AS n_distinct_words,
+       ws.top_word_n AS top_word_n,
+       coalesce(bs.n_bigrams, 0) AS n_bigrams,
+       coalesce(bs.n_distinct_bigrams, 0) AS n_distinct_bigrams,
+       round(1 - ws.n_distinct_words / ws.n_words, 6) AS dup_word_frac,
+       round(ws.top_word_n / ws.n_words, 6) AS top_word_frac
+FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII scrub — regex detection + redaction with an exact-bytes contract (the
+# md5 of the redacted text is compared across engines, so the redaction is
+# verified byte-for-byte, not just counted). The synthetic documents carry
+# no PII, so the query plants deterministic email/phone strings on every
+# third doc FROM the data itself before scrubbing — the operator under test
+# is the detect+redact expression pair, which is input-agnostic. Single
+# scan, zero shuffles, whole-stage codegen (regexp_extract_all +
+# regexp_replace are JVM built-ins).
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]+"
+_PHONE_RE = "\\+1-[0-9]{3}-[0-9]{4}"
+
+
+def q_pii_scrub(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com tel +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(_PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+SQL_PII_SCRUB = r"""
+WITH a AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact user' || doc_id::VARCHAR
+                   || '@mail.example.com tel +1-555-'
+                   || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+              ELSE text END AS aug
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]+'))::INT
+         AS n_emails,
+       len(regexp_extract_all(aug, '\+1-[0-9]{3}-[0-9]{4}'))::INT AS n_phones,
+       md5(regexp_replace(
+             regexp_replace(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]+',
+                            '<EMAIL>', 'g'),
+             '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_fp
+FROM a
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus mix report — the per-(source, lang) rollup a training run reads
+# before setting sampling weights: doc counts, char/word volume, corpus
+# share. One partial-agg'd groupBy over ~|sources|x|langs| groups; the
+# corpus total joins back as a broadcast of a 1-row aggregate (no global
+# window, no single-partition stage).
+# ---------------------------------------------------------------------------
+
+def q_corpus_mix_report(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    grp = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("total_words"),
+        F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+    )
+    total = docs.select(F.count("*").alias("_total"))
+    return grp.crossJoin(F.broadcast(total)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_chars",
+        "total_words",
+        "mean_chars",
+        F.round(F.col("n_docs") / F.col("_total"), 6).alias("corpus_share"),
+    )
+
+
+SQL_CORPUS_MIX_REPORT = """
+SELECT source, lang,
+       count(*) AS n_docs,
+       sum(n_chars) AS total_chars,
+       sum(len(string_split(text, ' ')))::BIGINT AS total_words,
+       round(avg(n_chars), 4) AS mean_chars,
+       round(count(*) / (SELECT count(*) FROM documents), 6) AS corpus_share
+FROM documents GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling — deterministic per-language hash sampling (the
+# training-mix downsample). No RNG: the keep decision is a pure function of
+# (doc_id, lang) through the shared md5 contract, so the sample is
+# reproducible across engines, runs, and partitionings, and composes with
+# resume (re-running selects the same rows). Single scan, zero shuffles.
+# ---------------------------------------------------------------------------
+
+_SAMPLE_RATES = {"en": 40, "zh": 20, "es": 20, "fr": 10, "de": 10}
+
+
+def q_stratified_sample(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    bucket = _h32(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("lang"))) % 100
+    rate = F.lit(5)
+    for lang, r in _SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return docs.select(
+        "doc_id", "lang", bucket.alias("bucket"), rate.alias("rate_pct")
+    ).filter(F.col("bucket") < F.col("rate_pct"))
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH b AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':' || lang), 1, 8))::BIGINT % 100
+           AS bucket,
+         CASE lang WHEN 'en' THEN 40 WHEN 'zh' THEN 20 WHEN 'es' THEN 20
+                   WHEN 'fr' THEN 10 WHEN 'de' THEN 10 ELSE 5 END AS rate_pct
+  FROM documents
+)
+SELECT doc_id, lang, bucket, rate_pct FROM b WHERE bucket < rate_pct
+"""
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary top-k — global word frequencies, k most frequent (ties broken
+# by word so the cut is deterministic). The groupBy is partial-aggregated
+# map-side (word salads collapse ~n_words -> |vocab| before the shuffle);
+# the top-k is TakeOrderedAndProject — a k-row driver merge, never a global
+# sort.
+# ---------------------------------------------------------------------------
+
+def q_vocab_topk(spark, sf_dir, k: int = 50):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w"))
+        .limit(k)
+    )
+
+
+SQL_VOCAB_TOPK = """
+SELECT w, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+GROUP BY 1 ORDER BY n DESC, w LIMIT 50
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -972,4 +1218,9 @@ REGISTRY: dict[str, tuple] = {
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "corpus_mix_report": (q_corpus_mix_report, SQL_CORPUS_MIX_REPORT),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
 }
