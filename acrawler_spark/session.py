@@ -45,21 +45,37 @@ def get_spark(
         # web pages are tens of KB each: small Arrow batches keep per-worker
         # peak memory (batch_rows x page_size x pandas overhead) bounded.
         # ALSO a liveness bound: Spark 4.1's PythonRunner multiplexes
-        # read+write on the task thread over a ~4 MB-buffered local socket;
-        # if a worker's per-batch OUTPUT exceeds the socket buffer while the
-        # JVM still has input batches queued, both sides can block on full
-        # buffers (observed: worker Recv-Q 33 MB, both Send-Qs ~4 MB, zero
-        # CPU — a permanently hung task). 256 rows x ~4 KB parse output
-        # ≈ 1 MB/batch stays under the buffer, so the worker's send always
-        # completes and it returns to draining its input.
+        # read+write on the task thread over a ~4 MB-buffered local socket.
+        # A wedge was captured live at 256 rows: the worker blocked in
+        # write(2) mid-send of a ~5 MB output batch (256 rows x ~20 KB
+        # extracted text CANNOT fit the send buffer in one write), the JVM
+        # task thread looping in ReaderInputStream.select with ~21 MB of
+        # input queued toward the worker and both Send-Qs pinned at 4 MB —
+        # zero CPU on both sides, permanently. 64 rows x ~20 KB ≈ 1.2 MB
+        # per output batch means every worker send completes in one or two
+        # write() calls and the worker always returns to draining its
+        # input. Measured at the bench corpus (921k pages, 16 cores) the
+        # smaller batch is also FASTER: 13.2 s (256) -> 11.7 s (64) —
+        # less live Arrow memory beats the per-batch overhead.
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
-            os.environ.get("ACRAWLER_ARROW_BATCH", "256"),
+            os.environ.get("ACRAWLER_ARROW_BATCH", "64"),
         )
-        # safety net for the same stall class: re-launch a straggling task
-        # copy instead of wedging the stage (pure UDFs + commit protocol
-        # make speculative duplicates safe)
-        .config("spark.speculation", "true")
+        # Speculation: ON for cluster masters (straggler re-launch is the
+        # standard guard there) but OFF in local mode — a speculative copy
+        # shares the one machine (duplicated tail-task CPU, measured ~13%
+        # of the pages stage at 16 threads), and when the socket wedge
+        # above was captured live under local[16], NO speculative copy had
+        # been launched for the stuck task; the bench's per-rep subprocess
+        # timeout is the guard that actually fires. ACRAWLER_SPECULATION
+        # overrides either default.
+        .config(
+            "spark.speculation",
+            os.environ.get(
+                "ACRAWLER_SPECULATION",
+                "false" if master.startswith("local") else "true",
+            ),
+        )
         .config("spark.speculation.interval", "5s")
         .config("spark.speculation.multiplier", "4")
         .config("spark.speculation.quantile", "0.9")

@@ -119,7 +119,15 @@ class CheckpointStore:
         df.write.mode("append").parquet(self._delta_path(table, rnd))
 
     def write_frontier(self, rnd: int, df: DataFrame) -> None:
-        self._capped(df).write.mode("overwrite").parquet(self._frontier_path(rnd))
+        # No rebalance shuffle: the rewrite is (balanced prior frontier)
+        # LEFT ANTI (broadcast selected) UNION small lifecycle branches —
+        # the anti-join preserves the prior frontier's scan partitioning,
+        # so the output is already file-sized and the rebalance was
+        # pushing the round's second-largest payload (~250 MB at the
+        # bench's big round) through shuffle disk for nothing. The union
+        # branches add a handful of small files; the next round's scan
+        # re-splits by size either way.
+        df.write.mode("overwrite").parquet(self._frontier_path(rnd))
 
     def commit_round(self, rnd: int, extra: dict | None = None) -> None:
         m = self.read_manifest()

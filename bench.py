@@ -96,16 +96,19 @@ def run_crawl(spark, sf_dir: str, cpus: int) -> dict:
 
     n_hosts = 32
     # page count = documents x mult. Regime choice (r3+r4 lessons): the
-    # corpus must be in the LARGE-ROUND regime or the engine's ~2-5 s
-    # fixed per-round cost dominates the 16-core side and the scaling
-    # ratio measures floors — mult=128 capped steady efficiency near 0.7
-    # by construction (two steady rounds of ~22 s paying ~5 s fixed),
-    # while mult=384 (~1.9M pages) blew the driver's wall budget
-    # (BENCH_r03 = rc 124, no data). Default 256 -> ~1.28M pages at
-    # sf0.1: steady rounds of ~250k and ~1M URLs, high-side fixed-cost
-    # loss <10%, and headline + 2 interleaved rep pairs + queries fit
-    # ~30 min. 384 stays available via SPARK_GRAFT_CORPUS_MULT.
-    mult = int(os.environ.get("SPARK_GRAFT_CORPUS_MULT", "256"))
+    # corpus must be in the LARGE-ROUND regime or the engine's fixed
+    # per-round cost (driver plan/broadcast gaps + small-stage floors,
+    # measured ~15-20 s/crawl at 16 cores via event log) dominates the
+    # high side and the scaling ratio measures floors, not the engine.
+    # At mult=256 the fixed share is ~40% of the 16-core steady wall vs
+    # ~18% at 4 cores — an efficiency cap by construction. Default 384
+    # (~1.9M pages at sf0.1) puts BOTH steady rounds past 700k URLs
+    # (r2 ~1.05M, r3 ~0.72M with depth-4 seeding). r3's rc=124 at this
+    # mult came from the unbudgeted harness (1200 s rep timeouts, no
+    # pair gating, cold corpus build every run) — all since fixed: the
+    # corpus is cached across reps/levels, reps time out at 600 s, and
+    # pairs 3+ only run while they fit the wall budget.
+    mult = int(os.environ.get("SPARK_GRAFT_CORPUS_MULT", "384"))
     body_repeat = int(os.environ.get("SPARK_GRAFT_BODY_REPEAT", "64"))
     # fanout 8 + depth seeding (below) -> ~3 BFS rounds at sf0.1, each
     # moving >=5% of the corpus: the large-round regime a 10^10-URL
@@ -403,15 +406,17 @@ def run_all(cpus: int) -> dict:
 def _crawl_subprocess(cpus: int, probe: bool = True) -> dict:
     """One crawl(+probe) measurement in a fresh JVM (own subprocess).
 
-    Hard per-rep timeout (SPARK_GRAFT_CRAWL_TIMEOUT_S, default 1200 s): a
+    Hard per-rep timeout (SPARK_GRAFT_CRAWL_TIMEOUT_S, default 600 s): a
     wedged rep (e.g. the Python-runner socket deadlock, see session.py) is
     killed and recorded as ``hung`` — excluded from clean-rep selection —
-    instead of wedging the whole harness into the driver's rc=124."""
+    instead of wedging the whole harness into the driver's rc=124. 600 s
+    is ~3x the slowest healthy rep at the default regime (low side ~190 s);
+    the r4 lesson: a 1200 s timeout let one wedge eat half the budget."""
     env = os.environ.copy()
     env["SPARK_GRAFT_BENCH_REPS"] = "1"
     if not probe:
         env["SPARK_GRAFT_SKIP_PROBE"] = "1"
-    timeout_s = float(os.environ.get("SPARK_GRAFT_CRAWL_TIMEOUT_S", "1200"))
+    timeout_s = float(os.environ.get("SPARK_GRAFT_CRAWL_TIMEOUT_S", "600"))
     t0 = time.monotonic()
     try:
         out = subprocess.run(

@@ -62,6 +62,31 @@ def main() -> int:
 
     from acrawler_spark.functions.udfs import make_parse_page_udf
 
+    # A/B knob: PROBE_EXTRA_CONF="spark.speculation=false,k=v" overlays the
+    # session conf so single components can be isolated (speculation,
+    # broadcast thresholds, batch sizes) without touching engine defaults
+    extra = dict(
+        kv.split("=", 1)
+        for kv in os.environ.get("PROBE_EXTRA_CONF", "").split(",")
+        if "=" in kv
+    )
+    if extra:
+        orig = bench._spark
+
+        def _patched(c):
+            from acrawler_spark.session import get_spark
+
+            return get_spark(
+                app_name=f"probe_{c}", master=f"local[{c}]",
+                shuffle_partitions=c,
+                extra_conf={
+                    "spark.driver.memory": os.environ.get("ACRAWLER_DRIVER_MEM", "24g"),
+                    "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+                    **extra,
+                },
+            )
+
+        bench._spark = _patched
     spark = bench._spark(cpus)
     mult = int(os.environ.get("SPARK_GRAFT_CORPUS_MULT", "256"))
     key = f"{os.path.basename(SF_DIR.rstrip('/'))}_h{N_HOSTS}_f{FANOUT}_m{mult}_b64"
@@ -106,7 +131,12 @@ def main() -> int:
         & (F.col("method") == "GET")
         & (F.col("c_bucket") == F.pmod(F.xxhash64("url_canon"), F.lit(64)))
     )
-    joined = right.join(F.broadcast(selected), cond, "inner")
+    # PROBE_NO_BROADCAST=1: drop the hint and let AQE plan from runtime
+    # stats — isolates the driver-serial broadcast hash-relation build
+    if os.environ.get("PROBE_NO_BROADCAST") == "1":
+        joined = right.join(selected, cond, "inner")
+    else:
+        joined = right.join(F.broadcast(selected), cond, "inner")
     udf = make_parse_page_udf(True, [r"site\d+\.test"])
     parsed = joined.select(
         "url", "url_canon", "rank", "host", "depth",
