@@ -42,24 +42,33 @@ def get_spark(
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         # Arrow for all pandas-UDF boundaries (input_hint: no per-row Python).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # web pages are tens of KB each: small Arrow batches keep per-worker
-        # peak memory (batch_rows x page_size x pandas overhead) bounded.
-        # ALSO a liveness bound: Spark 4.1's PythonRunner multiplexes
-        # read+write on the task thread over a ~4 MB-buffered local socket.
-        # A wedge was captured live at 256 rows: the worker blocked in
-        # write(2) mid-send of a ~5 MB output batch (256 rows x ~20 KB
-        # extracted text CANNOT fit the send buffer in one write), the JVM
-        # task thread looping in ReaderInputStream.select with ~21 MB of
-        # input queued toward the worker and both Send-Qs pinned at 4 MB —
-        # zero CPU on both sides, permanently. 64 rows x ~20 KB ≈ 1.2 MB
-        # per output batch means every worker send completes in one or two
-        # write() calls and the worker always returns to draining its
-        # input. Measured at the bench corpus (921k pages, 16 cores) the
-        # smaller batch is also FASTER: 13.2 s (256) -> 11.7 s (64) —
-        # less live Arrow memory beats the per-batch overhead.
+        # Arrow batch sizing is a LIVENESS bound, and the invariant is
+        # BYTES, not rows: Spark 4.1's PythonRunner multiplexes read+write
+        # on the task thread over a ~4 MB-buffered local socket. A wedge
+        # was captured live at 256 rows: the worker blocked in write(2)
+        # mid-send of a ~5 MB output batch (256 rows x ~20 KB extracted
+        # text cannot fit the send buffer in one write), the JVM task
+        # thread looping in ReaderInputStream.select with ~21 MB of input
+        # queued toward the worker and both Send-Qs pinned at 4 MB — zero
+        # CPU on both sides, permanently. The byte cap below slices
+        # JVM->Python input batches at 1 MiB (verified against 4.1.2 for
+        # both scalar pandas UDFs and mapInPandas: 20 KB rows arrive
+        # ~50/batch); every UDF in this engine emits <= ~1 output byte per
+        # input byte (parse: text+links <= html; Bloom: passthrough+bool),
+        # so output sends stay well under the socket buffer and the worker
+        # always returns to draining its input. The row cap is then only a
+        # backstop for narrow rows, where it is the per-batch-overhead
+        # knob: the previous row-only cap (64, sized for 20 KB pages) made
+        # ~100-byte candidate rows cross the Python boundary in ~115k
+        # batches per steady round — per-batch overhead was ~half the
+        # commit phase's task time at 16 cores.
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
-            os.environ.get("ACRAWLER_ARROW_BATCH", "64"),
+            os.environ.get("ACRAWLER_ARROW_BATCH", "8192"),
+        )
+        .config(
+            "spark.sql.execution.arrow.maxBytesPerBatch",
+            os.environ.get("ACRAWLER_ARROW_MAX_BYTES", str(1 << 20)),
         )
         # Speculation: ON for cluster masters (straggler re-launch is the
         # standard guard there) but OFF in local mode — a speculative copy

@@ -227,6 +227,9 @@ def run_crawl(spark, sf_dir: str, cpus: int) -> dict:
         # scaling); steal marks reps the hypervisor polluted
         "gc_ms": gc1 - gc0,
         "cpu_busy_s": round(cpu_busy_s, 1),
+        # host cores actually burned (task threads + Python workers + GC):
+        # the pinning audit — should be <= the level's pinned core count
+        "avg_cores": round(cpu_busy_s / secs, 2),
         "urls_per_cpu_sec": round(fetched / cpu_busy_s, 2) if cpu_busy_s > 0 else None,
         "steal_jiffies": cpu1["steal"] - cpu0["steal"],
         "round_timings": [
@@ -411,16 +414,35 @@ def _crawl_subprocess(cpus: int, probe: bool = True) -> dict:
     killed and recorded as ``hung`` — excluded from clean-rep selection —
     instead of wedging the whole harness into the driver's rc=124. 600 s
     is ~3x the slowest healthy rep at the default regime (low side ~190 s);
-    the r4 lesson: a 1200 s timeout let one wedge eat half the budget."""
+    the r4 lesson: a 1200 s timeout let one wedge eat half the budget.
+
+    CPU pinning (measurement honesty): ``local[N]`` bounds Spark TASK
+    SLOTS, not host CPUs — Python UDF workers, GC threads, shuffle and
+    parquet writer threads all run beside the N task threads. Measured on
+    this 32-vCPU box, an unpinned "local[4]" crawl burns 4.97 host cores
+    on average (cpu_busy_s/wall) — a ~25% free-CPU subsidy for the low
+    side that deflates every 4->16 ratio, while "local[16]" burns ~15.
+    A real N-core executor node runs its Python workers and GC inside
+    the same N cores. Each scaling rep is therefore pinned (taskset) to
+    exactly ``cpus`` vCPUs so the two levels measure the same
+    machine-per-core; avg cores burned per rep stays in the audit trail
+    (cpu_busy_s / secs). SPARK_GRAFT_PIN=0 disables."""
     env = os.environ.copy()
     env["SPARK_GRAFT_BENCH_REPS"] = "1"
     if not probe:
         env["SPARK_GRAFT_SKIP_PROBE"] = "1"
     timeout_s = float(os.environ.get("SPARK_GRAFT_CRAWL_TIMEOUT_S", "600"))
+    pin = (
+        ["taskset", "-c", f"0-{cpus - 1}"]
+        if os.environ.get("SPARK_GRAFT_PIN", "1") != "0"
+        and cpus < (os.cpu_count() or cpus)
+        and shutil.which("taskset")
+        else []
+    )
     t0 = time.monotonic()
     try:
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--crawl-only", str(cpus)],
+            pin + [sys.executable, os.path.abspath(__file__), "--crawl-only", str(cpus)],
             capture_output=True, text=True, env=env, timeout=timeout_s,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
@@ -503,7 +525,11 @@ def main() -> None:
     # for a median), further pairs run only while the measured cost of the
     # last pair still fits; partial results land in BENCH/PARTIAL.json
     # after every phase so even a hard kill leaves evidence on disk.
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "2100"))
+    # 1500 s default: r1's ~1700 s bench survived the driver's timeout and
+    # r3's >2400 s one did not, so the safe ceiling is below 1700; at the
+    # default regime (headline ~130 s + calibration + 417 s/pair + queries)
+    # this fits the mandatory two pairs with ~400 s of weather-wait slack.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1500"))
     t_start = time.monotonic()
     reserve_s = 180.0  # queries + session start + baseline write
     # Scaling pair: N and 4N cores INSIDE the host's linear region. This
@@ -811,6 +837,14 @@ def _write_baseline_md(r: dict) -> None:
             "calibration runs in-band (host_calibration above) so the",
             "ceiling is measured, not assumed; the headline throughput row",
             "still uses every vCPU.",
+            "",
+            "CPU pinning: local[N] bounds Spark task slots, not host CPUs —",
+            "an unpinned local[4] crawl measurably burned 4.97 host cores",
+            "(Python UDF workers + GC + writer threads run beside the task",
+            "threads), a ~25% subsidy to the low side that a real 4-core",
+            "executor node does not get. Each scaling rep runs under",
+            "taskset pinned to exactly N vCPUs; avg_cores per rep (busy-CPU",
+            "seconds / wall) is recorded as the audit that the bound held.",
         ]
     lines += [
         "",
