@@ -50,25 +50,31 @@ def get_spark(
         # text cannot fit the send buffer in one write), the JVM task
         # thread looping in ReaderInputStream.select with ~21 MB of input
         # queued toward the worker and both Send-Qs pinned at 4 MB — zero
-        # CPU on both sides, permanently. The byte cap below slices
-        # JVM->Python input batches at 1 MiB (verified against 4.1.2 for
-        # both scalar pandas UDFs and mapInPandas: 20 KB rows arrive
-        # ~50/batch); every UDF in this engine emits <= ~1 output byte per
-        # input byte (parse: text+links <= html; Bloom: passthrough+bool),
-        # so output sends stay well under the socket buffer and the worker
-        # always returns to draining its input. The row cap is then only a
-        # backstop for narrow rows, where it is the per-batch-overhead
-        # knob: the previous row-only cap (64, sized for 20 KB pages) made
-        # ~100-byte candidate rows cross the Python boundary in ~115k
-        # batches per steady round — per-batch overhead was ~half the
-        # commit phase's task time at 16 cores.
+        # CPU on both sides, permanently. The deadlock interleaving (caught
+        # live again with jstack + ss under local[16]): the task thread
+        # parks in select with a partially-written INPUT batch pending
+        # (write-interest only) while the worker is blocked writing output
+        # — neither side drains, so the wedge window is "free send-buffer
+        # space < one input batch" at the moment output backs up. The byte
+        # cap below slices JVM->Python input batches at 256 KiB (verified
+        # against 4.1.2 for both scalar pandas UDFs and mapInPandas), far
+        # under the ~4 MB socket buffer, so a pending input write always
+        # completes and the thread returns to read-interest; every UDF in
+        # this engine emits <= ~1 output byte per input byte (parse:
+        # text+links <= html; Bloom: passthrough+bool), bounding output
+        # sends the same way. The row cap is then only a backstop for
+        # narrow rows, where it is the per-batch-overhead knob: the
+        # previous row-only cap (64, sized for 20 KB pages) made ~100-byte
+        # candidate rows cross the Python boundary in ~115k batches per
+        # steady round — per-batch overhead was ~half the commit phase's
+        # task time at 16 cores.
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             os.environ.get("ACRAWLER_ARROW_BATCH", "8192"),
         )
         .config(
             "spark.sql.execution.arrow.maxBytesPerBatch",
-            os.environ.get("ACRAWLER_ARROW_MAX_BYTES", str(1 << 20)),
+            os.environ.get("ACRAWLER_ARROW_MAX_BYTES", str(256 * 1024)),
         )
         # Speculation: ON for cluster masters (straggler re-launch is the
         # standard guard there) but OFF in local mode — a speculative copy

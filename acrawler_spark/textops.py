@@ -1202,6 +1202,213 @@ GROUP BY 1 ORDER BY n DESC, w LIMIT 50
 """
 
 
+# ---------------------------------------------------------------------------
+# Line-level dedup (CCNet-style): drop every text block whose exact content
+# already appeared earlier in the corpus (first occurrence wins), then
+# reassemble each document from its surviving blocks. The corpus stand-in
+# for a "line" is a fixed 8-word block (the synthetic documents have no
+# newline structure). Scale shape: explode blocks -> one hash-groupBy to
+# elect the earliest (doc_id, blk_idx) owner per distinct block -> window
+# filter -> per-doc ordered reassembly. One shuffle on block text, one on
+# doc_id — no self-join, no pairwise stage; this is how paragraph dedup
+# runs over 100 TB (the block-hash groupBy partitions by content hash, so
+# hot blocks like boilerplate headers land on single reducers and are
+# dropped there).
+# ---------------------------------------------------------------------------
+
+_BLK = 8  # words per block
+
+
+def _blocks(docs: DataFrame) -> DataFrame:
+    words = F.split(F.col("text"), " ")
+    nblk = F.ceil(F.size(words) / _BLK).cast("int")
+    blocks = F.transform(
+        F.sequence(F.lit(0), nblk - 1),
+        lambda i: F.array_join(F.slice(words, i * _BLK + 1, _BLK), " "),
+    )
+    return docs.select("doc_id", F.posexplode(blocks).alias("blk_idx", "block"))
+
+
+def q_line_dedup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    b = _blocks(docs)
+    w = Window.partitionBy("block").orderBy("doc_id", "blk_idx")
+    kept = b.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("blk_idx", "block"))),
+                lambda s: s["block"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    n_blocks = b.groupBy("doc_id").agg(F.count("*").alias("n_blocks"))
+    return n_blocks.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_blocks",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+    )
+
+
+SQL_LINE_DEDUP = f"""
+WITH b AS (
+  SELECT doc_id, blk AS blk_idx,
+         array_to_string(words[blk * {_BLK} + 1 : blk * {_BLK} + {_BLK}], ' ') AS block
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       unnest(range(0, CAST(ceil(len(words) / {_BLK}.0) AS BIGINT))) AS t(blk)
+), kept AS (
+  SELECT doc_id, blk_idx, block,
+         row_number() OVER (PARTITION BY block ORDER BY doc_id, blk_idx) AS rn
+  FROM b
+), rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(block, ' ' ORDER BY blk_idx) AS kept_text
+  FROM kept WHERE rn = 1 GROUP BY doc_id
+)
+SELECT nb.doc_id, nb.n_blocks,
+       coalesce(r.n_kept, 0) AS n_kept,
+       coalesce(r.kept_text, '') AS kept_text
+FROM (SELECT doc_id, count(*) AS n_blocks FROM b GROUP BY doc_id) nb
+LEFT JOIN rebuilt r ON nb.doc_id = r.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Test-set decontamination: flag training documents sharing any word-n-gram
+# with a held-out eval set (the standard pretraining-data hygiene pass).
+# The eval set here is the deterministic slice doc_id % 101 == 0. Scale
+# shape: the eval n-gram set is tiny relative to the corpus (benchmarks are
+# KBs, corpora are TBs) -> broadcast hash join against the exploded train
+# n-grams; no shuffle of the big side beyond the per-doc re-aggregation.
+# ---------------------------------------------------------------------------
+
+_NG = 3  # n-gram width: 8-13 in production; 3 here because the synthetic
+         # corpus draws from a ~30-word vocabulary, where real-width grams
+         # never collide and the gate would be vacuously all-clean
+
+
+def _ngrams8(docs: DataFrame) -> DataFrame:
+    words = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(words) >= _NG,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (_NG - 1)),
+            lambda i: F.array_join(F.slice(words, i, _NG), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.explode(grams).alias("gram"))
+
+
+def q_decontaminate(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    eval_grams = (
+        _ngrams8(docs.filter(F.col("doc_id") % 101 == 0))
+        .select("gram")
+        .distinct()
+    )
+    train = _ngrams8(docs.filter(F.col("doc_id") % 101 != 0))
+    hits = (
+        train.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_hit_grams"))
+    )
+    return (
+        docs.filter(F.col("doc_id") % 101 != 0)
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hit_grams"), F.lit(0)).cast("long").alias("n_hit_grams"),
+            (F.coalesce(F.col("n_hit_grams"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH g AS (
+  SELECT doc_id,
+         array_to_string(words[i : i + {_NG - 1}], ' ') AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       unnest(range(1, len(words) - {_NG - 2})) AS t(i)
+  WHERE len(words) >= {_NG}
+), ev AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 101 = 0
+), hits AS (
+  SELECT g.doc_id, count(DISTINCT g.gram) AS n_hit_grams
+  FROM g JOIN ev USING (gram)
+  WHERE g.doc_id % 101 <> 0
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.n_hit_grams, 0) AS n_hit_grams,
+       coalesce(h.n_hit_grams, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 101 <> 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: concatenate documents per source in doc_id order and
+# cut the token stream every PACK tokens (GPT-style concat-then-chunk
+# packing — the last mile before a training corpus becomes model input).
+# Each doc's pack assignment is a pure prefix-sum: start_offset = tokens
+# before it within its source. Scale shape: one window partitioned by
+# source (sources are the natural parallel unit; within-source order is
+# doc_id, so the window is a single sort per partition, no global order).
+# ---------------------------------------------------------------------------
+
+_PACK = 512  # tokens per training sequence
+
+
+def q_seq_pack(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = docs.select("doc_id", "source", n_tok.alias("n_tokens"))
+    return t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("start_offset"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / _PACK).cast("long").alias("pack_id"),
+        (
+            F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / _PACK)
+            > F.floor(F.col("start_offset") / _PACK)
+        ).alias("crosses_boundary"),
+    )
+
+
+SQL_SEQ_PACK = f"""
+WITH t AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, source, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS start_offset
+  FROM t
+)
+SELECT doc_id, source, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(floor(start_offset / {_PACK}.0) AS BIGINT) AS pack_id,
+       floor((start_offset + n_tokens - 1) / {_PACK}.0)
+         > floor(start_offset / {_PACK}.0) AS crosses_boundary
+FROM o
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -1223,4 +1430,7 @@ REGISTRY: dict[str, tuple] = {
     "corpus_mix_report": (q_corpus_mix_report, SQL_CORPUS_MIX_REPORT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
+    "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "seq_pack": (q_seq_pack, SQL_SEQ_PACK),
 }

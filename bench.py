@@ -69,6 +69,14 @@ def _spark(cpus: int):
         # splits made hundreds of launches per scan — serial driver cost)
         "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
     }
+    # shuffle/broadcast scratch on tmpfs for the same reason the store is
+    # (see run_crawl): the shared virtio disk's writeback/discard bursts
+    # are the dominant rep-to-rep noise and it is the one resource that
+    # does NOT scale with cores on this box
+    if os.path.isdir("/dev/shm"):
+        d = os.path.join("/dev/shm", "acrawler_spark_local")
+        os.makedirs(d, exist_ok=True)
+        conf.setdefault("spark.local.dir", d)
     # diagnostics: SPARK_GRAFT_EVENTLOG=<dir> records per-stage/task metrics
     # (executor run/CPU/GC time, shuffle, spill) for post-hoc analysis
     ev = os.environ.get("SPARK_GRAFT_EVENTLOG")
@@ -80,7 +88,9 @@ def _spark(cpus: int):
     return get_spark(
         app_name=f"bench_{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=cpus,
+        shuffle_partitions=int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", str(cpus))
+        ),
         extra_conf=conf,
     )
 
@@ -188,7 +198,22 @@ def run_crawl(spark, sf_dir: str, cpus: int) -> dict:
         max_rounds=20,
         corpus_bucket_n=n_buckets,
     )
-    root = tempfile.mkdtemp(prefix="acrawler_bench_")
+    # Measurement hygiene: the per-rep checkpoint store lives on tmpfs
+    # (/dev/shm) when available, NOT the shared virtio disk. /tmp here is
+    # ext4 on a shared-host virtual disk mounted with inline `discard`:
+    # a rep writes + deletes GBs, and the resulting writeback/discard
+    # kworker burst bleeds multi-core CPU into whatever runs NEXT (it
+    # wrecked an in-band calibration 8x with zero hypervisor steal and
+    # is the main clean-rep variance source). A real N->4N executor
+    # scale-up multiplies storage bandwidth with nodes; this box's one
+    # virtio disk is the single non-scaling resource, so keeping the
+    # measured path in RAM measures the ENGINE's scaling, not the disk's
+    # queue. SPARK_GRAFT_STORE_DIR overrides.
+    store_base = os.environ.get(
+        "SPARK_GRAFT_STORE_DIR",
+        "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir(),
+    )
+    root = tempfile.mkdtemp(prefix="acrawler_bench_", dir=store_base)
     store = CheckpointStore(root, spark, write_partitions=cpus)
     cpu0, gc0 = _cpu_jiffies(), _jvm_gc_ms(spark)
     t0 = time.monotonic()
@@ -258,15 +283,46 @@ def _quiet_frac(sample_s: float = 5.0) -> float:
     return (_steal_jiffies() - s0) / cap
 
 
-def _wait_for_quiet(max_wait_s: float, thresh: float = 0.004) -> float:
-    """Measurement hygiene: hold the next measured rep until the host's
-    steal rate subsides, up to max_wait_s. Waiting is cheaper than burning
-    a 300-500 s rep pair the clean-rep filter then discards (r3/r4 lesson:
-    storm-polluted pairs are the main reason the median rests on one rep).
-    Returns the last sampled steal fraction (recorded for audit)."""
+def _busy_frac(sample_s: float = 2.0) -> float:
+    """Fraction of host CPU capacity busy (this guest's own processes +
+    kworkers) over a short window. Catches what the steal probe cannot:
+    leftover JVM shutdown, page-cache writeback and inline-discard bursts
+    from the PREVIOUS phase's GBs of deleted parquet — measured wrecking
+    an in-band calibration 8x at zero steal."""
+    b0 = _cpu_jiffies()
+    time.sleep(sample_s)
+    b1 = _cpu_jiffies()
+    cap = (os.cpu_count() or 32) * 100.0 * sample_s
+    return (b1["busy"] - b0["busy"]) / cap
+
+
+def _dirty_kb() -> int:
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("Dirty:"):
+                    return int(line.split()[1])
+    except Exception:
+        pass
+    return 0
+
+
+def _wait_for_quiet(
+    max_wait_s: float, thresh: float = 0.004, busy_thresh: float = 0.06
+) -> float:
+    """Measurement hygiene: hold the next measured rep until the host is
+    quiet on THREE axes — hypervisor steal, local busy CPU (leftover JVM /
+    writeback kworkers), and pending dirty pages (writeback that will
+    become kworker CPU mid-rep) — up to max_wait_s. Waiting is cheaper
+    than burning a 300-500 s rep pair the clean-rep filter then discards
+    (r3/r4 lesson: polluted pairs are the main reason the median rests on
+    one rep). Returns the last sampled steal fraction (recorded for
+    audit)."""
     deadline = time.monotonic() + max_wait_s
     f = _quiet_frac()
-    while f >= thresh and time.monotonic() < deadline:
+    while time.monotonic() < deadline:
+        if f < thresh and _busy_frac() < busy_thresh and _dirty_kb() < 262144:
+            break
         time.sleep(min(20.0, max(1.0, deadline - time.monotonic())))
         f = _quiet_frac()
     return round(f, 5)
@@ -448,6 +504,13 @@ def _crawl_subprocess(cpus: int, probe: bool = True) -> dict:
         )
         r = json.loads(out.stdout.strip().splitlines()[-1])
     except (subprocess.TimeoutExpired, json.JSONDecodeError, IndexError) as e:
+        # a killed JVM never runs its shutdown hooks: clear its tmpfs
+        # scratch (store dirs + shuffle) so RAM is not leaked into the
+        # next rep (reps are sequential; nothing else uses these paths)
+        shutil.rmtree("/dev/shm/acrawler_spark_local", ignore_errors=True)
+        for d in os.listdir("/dev/shm") if os.path.isdir("/dev/shm") else []:
+            if d.startswith("acrawler_bench_"):
+                shutil.rmtree(os.path.join("/dev/shm", d), ignore_errors=True)
         r = {
             "hung": True, "err": type(e).__name__,
             "fetched": 0, "ok": 0, "secs": round(time.monotonic() - t0, 1),
@@ -461,7 +524,12 @@ def _crawl_subprocess(cpus: int, probe: bool = True) -> dict:
 
 
 STEAL_FRAC_MAX = 0.08  # rep is "clean" if hypervisor steal < 8% of busy CPU
-CPU_EFF_MIN = 0.6  # ... AND its urls/busy-CPU-sec is >=60% of the level's best
+# ... AND its urls/busy-CPU-sec is >=75% of the level's best. Measured on
+# this host (six 16-core reps, steal < 1000 jiffies each): quiet-mode reps
+# cluster within ~10% of the best cpu-efficiency while interference-slowed
+# reps burn 25-45% more CPU per url for IDENTICAL work — throttling slows
+# running vCPUs without accruing steal, so the steal gate alone misses it.
+CPU_EFF_MIN = 0.75
 
 
 def _steal_frac(r: dict) -> float:
@@ -591,11 +659,17 @@ def main() -> None:
                     - (pair_secs or 2 * headline["subprocess_secs"])),
             )
             weather.append((f"pair_{_rep + 1}", _wait_for_quiet(wait_cap)))
-            if calib is None:
+            if calib is None or not (
+                0.5 <= calib.get("host_efficiency", 0) <= 1.05
+            ):
                 # host pure-CPU calibration runs INSIDE the first quiet
                 # window, next to the reps it normalizes — a storm-time
                 # calibration (observed 0.31 vs 0.84-0.95 quiet) would make
-                # the vs-host ratio meaningless in either direction
+                # the vs-host ratio meaningless in either direction. An
+                # implausible ratio (outside [0.5, 1.05] — pure CPU cannot
+                # scale superlinearly) means the window was NOT quiet
+                # (observed once: 8x-slow burn at zero steal from leftover
+                # writeback); recalibrate in the next pair's window.
                 calib = {
                     "low_ops_per_sec": round(_pure_cpu_ops_per_sec(low_cpus), 0),
                     "high_ops_per_sec": round(_pure_cpu_ops_per_sec(hi_cpus), 0),
@@ -662,6 +736,17 @@ def main() -> None:
 
         med_high = _median([r["steady_urls_per_sec"] for r in high_clean])
         med_low = _median([r["steady_urls_per_sec"] for r in low_clean])
+        # Paired efficiency: each interleaved (high, low) pair is adjacent
+        # in time, so both sides sit in the same host-weather mode and the
+        # per-pair ratio cancels multiplicative interference that the
+        # per-level medians (taken over different moments) cannot. A pair
+        # counts only when BOTH reps pass the clean filter.
+        hc, lc = set(map(id, high_clean)), set(map(id, low_clean))
+        pair_effs = [
+            round((h["steady_urls_per_sec"] / l["steady_urls_per_sec"]) / ratio, 3)
+            for h, l in zip(runs[hi_cpus], runs[low_cpus])
+            if id(h) in hc and id(l) in lc and l["steady_urls_per_sec"] > 0
+        ]
         scaling = {
             "low_cpus": low_cpus,
             "high_cpus": hi_cpus,
@@ -682,6 +767,10 @@ def main() -> None:
                 crawl_high["steady_urls_per_sec"], low["steady_urls_per_sec"]
             ),
             "efficiency_steady_median": eff(med_high, med_low),
+            "pair_efficiencies": pair_effs,
+            "efficiency_steady_pair_median": (
+                _median(pair_effs) if pair_effs else None
+            ),
             # steady efficiency normalized by what the host itself delivers
             # at these levels on pure CPU (>= 1.0 means the engine scales
             # as well as the machine physically can)
@@ -806,6 +895,7 @@ def _write_baseline_md(r: dict) -> None:
             f"| steady-state URLs/sec at local[{s['high_cpus']}] (4N) | {s['high_steady_urls_per_sec']} |",
             f"| steady-state scaling efficiency N->4N | {s['efficiency_steady']} |",
             f"| steady-state efficiency, median of clean reps | {s.get('efficiency_steady_median')} |",
+            f"| **steady-state efficiency, median of clean interleaved pairs** | **{s.get('efficiency_steady_pair_median')}** (pairs: {s.get('pair_efficiencies')}) |",
             f"| host pure-CPU delivery at same levels (calibration) | {s.get('host_calibration')} |",
             f"| **steady efficiency / host ceiling** | **{s.get('efficiency_steady_vs_host')}** |",
             f"| **CPU-normalized efficiency (urls/busy-CPU-sec ratio)** | **{s.get('efficiency_cpu')}** |",
