@@ -733,21 +733,22 @@ class CrawlEngine:
 
         from concurrent.futures import ThreadPoolExecutor
 
-        # Materialize the admitted cache ONCE before the concurrent commit
-        # jobs: both _seen_job and _frontier_job consume it, and submitting
-        # them with a cold cache makes every task of one job convoy on the
-        # other's BlockInfoManager write-locks while it computes the same
+        # The admitted cache must be materialized by exactly ONE job before
+        # any second consumer touches it: submitting two consumers with a
+        # cold cache makes every task of one convoy on the other's
+        # BlockInfoManager write-locks while it computes the same
         # partitions (event-log evidence at local[16], bench round 1: two
         # identical 32-task stages — candidates Window + Bloom MapInPandas
         # + Union lineage — 448 task-seconds of run time against 49 CPU-
-        # seconds, ~90% lock-wait). One extra tiny job (count on the
-        # soon-to-be-cached plan) builds the cache at full parallelism;
-        # the writers then race only on cheap cache reads.
-        if cfg.follow_patterns or new_seed_rows is not None:
-            admitted.count()
-
+        # seconds, ~90% lock-wait). The materializing job is the seen-delta
+        # write itself (it consumes admitted at full parallelism below the
+        # bucket repartition, so the cache fills exactly where a standalone
+        # count() would have filled it) — one serial barrier job less per
+        # round than the previous count()-then-write ordering; the other
+        # writers then race only on cheap cache reads.
         with ThreadPoolExecutor(max_workers=4) as pool:
             fut_seen = pool.submit(_seen_job)
+            n_admitted = fut_seen.result()
             fut_frontier = pool.submit(_frontier_job)
             extras = []
             if spec_items_all is not None:
@@ -756,7 +757,6 @@ class CrawlEngine:
                 )
             if cfg.detailed_metrics:
                 extras.append(pool.submit(_lineage_job))
-            n_admitted = fut_seen.result()
             fstats = fut_frontier.result()
             for f in extras:
                 f.result()

@@ -31,8 +31,14 @@ def get_spark(
         # (url-hash range partitions); locally it matches core count.
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # AQE: runtime coalesce + skew-join split — hot-domain fetch joins
-        # are exactly the skew case AQE re-plans.
-        .config("spark.sql.adaptive.enabled", "true")
+        # are exactly the skew case AQE re-plans. ACRAWLER_AQE=0 disables
+        # (AQE inserts a driver-side re-plan barrier per shuffle stage;
+        # for latency-bound many-small-job rounds that barrier can cost
+        # more than the re-plan saves — measured per-workload).
+        .config(
+            "spark.sql.adaptive.enabled",
+            "false" if os.environ.get("ACRAWLER_AQE") == "0" else "true",
+        )
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
