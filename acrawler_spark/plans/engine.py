@@ -748,8 +748,10 @@ class CrawlEngine:
         # writers then race only on cheap cache reads.
         with ThreadPoolExecutor(max_workers=4) as pool:
             fut_seen = pool.submit(_seen_job)
-            n_admitted = fut_seen.result()
-            fut_frontier = pool.submit(_frontier_job)
+            # items/lineage read only the pages cache (materialized by the
+            # fetch-phase writes) — they never touch admitted, so they run
+            # beside the seen write; only _frontier_job (the second admitted
+            # consumer) waits for the materializing job.
             extras = []
             if spec_items_all is not None:
                 extras.append(
@@ -757,6 +759,8 @@ class CrawlEngine:
                 )
             if cfg.detailed_metrics:
                 extras.append(pool.submit(_lineage_job))
+            n_admitted = fut_seen.result()
+            fut_frontier = pool.submit(_frontier_job)
             fstats = fut_frontier.result()
             for f in extras:
                 f.result()

@@ -20,7 +20,7 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_BENCH_BUDGET_S (default 2100) wall-clock budget — rep
      pairs beyond the first two are added only while they fit,
      SPARK_GRAFT_BENCH_MAX_REPS (default 5) interleaved pair cap,
-     SPARK_GRAFT_CORPUS_MULT (default 256; 384 = the 1.9M-page regime).
+     SPARK_GRAFT_CORPUS_MULT (default 384, the ~1.9M-page regime).
 Progressive state lands in BENCH/PARTIAL.json after every phase.
 
 Internal mode: ``python bench.py --crawl-only <cpus>`` prints a small JSON
