@@ -17,7 +17,7 @@ N vs 4N executors.
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
      SPARK_GRAFT_SKIP_SCALING=1 to skip the second run,
-     SPARK_GRAFT_BENCH_BUDGET_S (default 2100) wall-clock budget — rep
+     SPARK_GRAFT_BENCH_BUDGET_S (default 1500) wall-clock budget — rep
      pairs beyond the first two are added only while they fit,
      SPARK_GRAFT_BENCH_MAX_REPS (default 5) interleaved pair cap,
      SPARK_GRAFT_CORPUS_MULT (default 384, the ~1.9M-page regime).
