@@ -115,6 +115,16 @@ class CrawlConfig:
     # — family-matched, priority-descending handler stages (middleware.py:70-186)
     handlers: dict = field(default_factory=dict)
     seen_compact_deltas: int = 16  # compact seen when this many deltas accrue
+    # Contract: the corpus is a keyed resource table — at most ONE row per
+    # (url[, method]), the shape of a fetch (one response per request,
+    # http.py:258-281). Under it, |hit rows| == |selected| proves the round
+    # had zero corpus misses, and the miss job (hit-fp broadcast + anti-join
+    # + delta append — fixed driver-serial cost per round) is skipped
+    # entirely; the counts ride jobs that already run. Set False for corpora
+    # with duplicate keys (every selected key then fans out into multiple
+    # page rows AND the equality test could mask a miss) — the anti-join
+    # miss path then runs every round.
+    corpus_unique_keys: bool = True
 
     def effective_host_budget(self) -> int:
         """Fold DOWNLOAD_DELAY into the per-host round budget: with delay d,
@@ -515,14 +525,30 @@ class CrawlEngine:
         # CPU at 16 cores for a (steady-state) empty result. The anti-join
         # against written hit fingerprints is O(selected), broadcast under
         # the same proven bound, and appends a usually-empty second file.
-        hit_fps = self.store.read_delta_one("pages", rnd).select("fingerprint")
-        miss_staged, obs_miss = _stage(
-            build_misses(selected_ranked, hit_fps, frontier.columns, bounded)
-        )
-        self.store.append_delta(
-            "pages", rnd, miss_staged.select(*[F.col(c) for c in pages_staged.columns])
-        )
-        pstats, mstats = obs_pages.get, obs_miss.get
+        # Fast path: under the corpus_unique_keys contract a selected row
+        # matches at most one corpus row, so |hit rows| == |selected| proves
+        # zero misses — the whole miss job (fp broadcast build + anti-join
+        # stage + delta append, ~1.5-2 s of driver-serial cost per round at
+        # any core count) is skipped. The selected count is one tiny scan
+        # of the cache the pages job just materialized (an Observation on
+        # the fetch join's build side would be free, but CollectMetrics
+        # under an AQE broadcast stage doesn't reliably surface its row).
+        # Steady-state rounds of a converged crawl are all hits, so this is
+        # the common case the round loop is sized for.
+        pstats = obs_pages.get
+        n_sel_exact = selected.count() if cfg.corpus_unique_keys else -1
+        if cfg.corpus_unique_keys and int(pstats["n_selected"] or 0) == n_sel_exact:
+            mstats = {"n_selected": 0, "n_ok": 0, "n_failed": 0, "n_defer_user": 0}
+        else:
+            hit_fps = self.store.read_delta_one("pages", rnd).select("fingerprint")
+            miss_staged, obs_miss = _stage(
+                build_misses(selected_ranked, hit_fps, frontier.columns, bounded)
+            )
+            self.store.append_delta(
+                "pages", rnd,
+                miss_staged.select(*[F.col(c) for c in pages_staged.columns]),
+            )
+            mstats = obs_miss.get
         n_selected = int(pstats["n_selected"] or 0) + int(mstats["n_selected"] or 0)
         n_ok = int(pstats["n_ok"] or 0) + int(mstats["n_ok"] or 0)
         n_failed_final = int(pstats["n_failed"] or 0) + int(mstats["n_failed"] or 0)
@@ -679,7 +705,16 @@ class CrawlEngine:
             got = obs_seen.get
             return int(got["n"] or 0) - int(got["n_seed"] or 0)
 
-        def _frontier_job() -> dict:
+        def _frontier_obs(df: DataFrame) -> tuple[DataFrame, Observation]:
+            obs = Observation()
+            return df.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.min("exetime").alias("min_exetime"),
+                F.sum((F.col("exetime") <= F.lit(now)).cast("long")).alias("n_due_now"),
+            ), obs
+
+        def _frontier_core_job() -> dict:
             # new frontier = frontier \ selected (\ robots-blocked) +
             # lifecycle re-entries. The anti-join's right side is the
             # (cached) selected fingerprints, so the politeness windows are
@@ -690,6 +725,11 @@ class CrawlEngine:
             # under the proven bound (round_cap / frontier_n ≤
             # broadcast_max_rows); otherwise AQE picks from runtime stats
             # (an unbounded selected set must not be forced driver-side).
+            # SPLIT COMMIT: this core part touches only the prior frontier,
+            # the (hot) selected cache, and the written pages delta — never
+            # `admitted` — so it runs CONCURRENTLY with the seen job instead
+            # of serializing behind it; the admitted branch appends after
+            # (its cache is materialized by the seen write).
             sel_fps = selected.select("fingerprint")
             remaining = frontier.join(
                 F.broadcast(sel_fps) if bounded else sel_fps, "fingerprint", "left_anti"
@@ -698,22 +738,22 @@ class CrawlEngine:
                 remaining = remaining.join(
                     F.broadcast(robots_blocked_fps), "fingerprint", "left_anti"
                 )
-            new_frontier = (
+            new_frontier, obs = _frontier_obs(
                 remaining.select(*frontier.columns)
                 .unionByName(retries.select(*frontier.columns))
                 .unionByName(recrawls.select(*frontier.columns))
                 .unionByName(deferred_user.select(*frontier.columns))
-                .unionByName(admitted.select(*frontier.columns))
-            )
-            obs_frontier = Observation()
-            new_frontier = new_frontier.observe(
-                obs_frontier,
-                F.count(F.lit(1)).alias("n"),
-                F.min("exetime").alias("min_exetime"),
-                F.sum((F.col("exetime") <= F.lit(now)).cast("long")).alias("n_due_now"),
             )
             self.store.write_frontier(rnd, new_frontier)
-            return obs_frontier.get
+            return obs.get
+
+        def _frontier_admitted_job() -> dict:
+            if not (cfg.follow_patterns or new_seed_rows is not None):
+                # admitted is the empty literal — nothing to append
+                return {"n": 0, "min_exetime": None, "n_due_now": 0}
+            adf, obs = _frontier_obs(admitted.select(*frontier.columns))
+            self.store.append_frontier(rnd, adf)
+            return obs.get
 
         def _lineage_job() -> None:
             # per-partition lineage (north rule) — gated: observability,
@@ -746,12 +786,16 @@ class CrawlEngine:
         # count() would have filled it) — one serial barrier job less per
         # round than the previous count()-then-write ordering; the other
         # writers then race only on cheap cache reads.
-        with ThreadPoolExecutor(max_workers=4) as pool:
+        with ThreadPoolExecutor(max_workers=5) as pool:
             fut_seen = pool.submit(_seen_job)
-            # items/lineage read only the pages cache (materialized by the
-            # fetch-phase writes) — they never touch admitted, so they run
-            # beside the seen write; only _frontier_job (the second admitted
-            # consumer) waits for the materializing job.
+            # items/lineage/frontier-core read only the pages delta, the
+            # selected cache, and the prior frontier (all hot/materialized
+            # by the fetch phase) — they never touch admitted, so they run
+            # beside the seen write; only the admitted append (the second
+            # admitted consumer) waits for the materializing job, and it
+            # must also follow the core overwrite (overwrite clears the
+            # frontier dir the append lands in).
+            fut_fcore = pool.submit(_frontier_core_job)
             extras = []
             if spec_items_all is not None:
                 extras.append(
@@ -760,10 +804,20 @@ class CrawlEngine:
             if cfg.detailed_metrics:
                 extras.append(pool.submit(_lineage_job))
             n_admitted = fut_seen.result()
-            fut_frontier = pool.submit(_frontier_job)
-            fstats = fut_frontier.result()
+            fstats_core = fut_fcore.result()
+            fstats_adm = _frontier_admitted_job()
             for f in extras:
                 f.result()
+        fstats = {
+            "n": int(fstats_core["n"] or 0) + int(fstats_adm["n"] or 0),
+            "min_exetime": min(
+                (x for x in (fstats_core["min_exetime"], fstats_adm["min_exetime"])
+                 if x is not None),
+                default=None,
+            ),
+            "n_due_now": int(fstats_core["n_due_now"] or 0)
+            + int(fstats_adm["n_due_now"] or 0),
+        }
         # rows still due right now = politeness-deferred + retries + admitted
         # (all three carry exetime == now; recrawls, user-deferred and
         # ineligible rows are strictly future). Reported "deferred" folds in

@@ -129,6 +129,14 @@ class CheckpointStore:
         # re-splits by size either way.
         df.write.mode("overwrite").parquet(self._frontier_path(rnd))
 
+    def append_frontier(self, rnd: int, df: DataFrame) -> None:
+        """Append a second file set into an already-staged frontier rewrite
+        (the admitted-candidates branch, written after the seen job has
+        materialized the admitted cache — see engine.run_round's split
+        commit). Crash-safe under the same protocol as append_delta: an
+        uncommitted round's frontier dir is dropped by abort_uncommitted."""
+        df.write.mode("append").parquet(self._frontier_path(rnd))
+
     def commit_round(self, rnd: int, extra: dict | None = None) -> None:
         m = self.read_manifest()
         m["round"] = rnd
