@@ -29,6 +29,7 @@ within-round discovery order (parent rank, link position).
 from __future__ import annotations
 
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -251,6 +252,19 @@ class CrawlEngine:
             self.robots = rules_df(spark, cfg.robots_rules)
         else:
             self.robots = None
+
+    @contextmanager
+    def _job(self, label: str):
+        """Label every Spark job submitted from the current (Python) thread
+        — thread-local under PySpark's pinned-thread mode, so the commit
+        pool's concurrent writers each carry their own name in the UI and
+        event log (the per-stage/job attribution the scaling audits read)."""
+        sc = self.spark.sparkContext
+        sc.setLocalProperty("spark.job.description", label)
+        try:
+            yield
+        finally:
+            sc.setLocalProperty("spark.job.description", None)
 
     def _apply_handlers(self, position: str, df: DataFrame, rnd: int) -> DataFrame:
         """Run registered pipeline-stage handlers (middleware.py:129-137
@@ -515,7 +529,8 @@ class CrawlEngine:
         # scan of this delta — the UDF runs exactly once per page and no
         # multi-hundred-MB cache blocks churn the executors.
         pages_staged, obs_pages = _stage(fetched)
-        self.store.write_delta("pages", rnd, pages_staged)
+        with self._job(f"r{rnd} pages: fetch-join + parse + write"):
+            self.store.write_delta("pages", rnd, pages_staged)
         tick("pages_stage")
 
         # misses staged SECOND, against the round's own output: the old
@@ -536,7 +551,8 @@ class CrawlEngine:
         # Steady-state rounds of a converged crawl are all hits, so this is
         # the common case the round loop is sized for.
         pstats = obs_pages.get
-        n_sel_exact = selected.count() if cfg.corpus_unique_keys else -1
+        with self._job(f"r{rnd} miss check: cached selected count"):
+            n_sel_exact = selected.count() if cfg.corpus_unique_keys else -1
         if cfg.corpus_unique_keys and int(pstats["n_selected"] or 0) == n_sel_exact:
             mstats = {"n_selected": 0, "n_ok": 0, "n_failed": 0, "n_defer_user": 0}
         else:
@@ -544,10 +560,11 @@ class CrawlEngine:
             miss_staged, obs_miss = _stage(
                 build_misses(selected_ranked, hit_fps, frontier.columns, bounded)
             )
-            self.store.append_delta(
-                "pages", rnd,
-                miss_staged.select(*[F.col(c) for c in pages_staged.columns]),
-            )
+            with self._job(f"r{rnd} misses: anti-join vs written hits + append"):
+                self.store.append_delta(
+                    "pages", rnd,
+                    miss_staged.select(*[F.col(c) for c in pages_staged.columns]),
+                )
             mstats = obs_miss.get
         n_selected = int(pstats["n_selected"] or 0) + int(mstats["n_selected"] or 0)
         n_ok = int(pstats["n_ok"] or 0) + int(mstats["n_ok"] or 0)
@@ -701,7 +718,8 @@ class CrawlEngine:
             ).drop("_is_seed")
             if self.bloom is not None:
                 new_seen = self.bloom.updating_scan(new_seen)
-            self.store.write_delta("seen", rnd, new_seen, cap=self.bloom is None)
+            with self._job(f"r{rnd} seen: dedup+bloom+write (materializes admitted)"):
+                self.store.write_delta("seen", rnd, new_seen, cap=self.bloom is None)
             got = obs_seen.get
             return int(got["n"] or 0) - int(got["n_seed"] or 0)
 
@@ -744,7 +762,8 @@ class CrawlEngine:
                 .unionByName(recrawls.select(*frontier.columns))
                 .unionByName(deferred_user.select(*frontier.columns))
             )
-            self.store.write_frontier(rnd, new_frontier)
+            with self._job(f"r{rnd} frontier core: anti-join + re-entries write"):
+                self.store.write_frontier(rnd, new_frontier)
             return obs.get
 
         def _frontier_admitted_job() -> dict:
@@ -752,7 +771,8 @@ class CrawlEngine:
                 # admitted is the empty literal — nothing to append
                 return {"n": 0, "min_exetime": None, "n_due_now": 0}
             adf, obs = _frontier_obs(admitted.select(*frontier.columns))
-            self.store.append_frontier(rnd, adf)
+            with self._job(f"r{rnd} frontier admitted: append"):
+                self.store.append_frontier(rnd, adf)
             return obs.get
 
         def _lineage_job() -> None:
@@ -769,7 +789,8 @@ class CrawlEngine:
                 )
                 .withColumn("round", F.lit(rnd))
             )
-            self.store.write_delta("lineage", rnd, lineage)
+            with self._job(f"r{rnd} lineage: partition rollup write"):
+                self.store.write_delta("lineage", rnd, lineage)
 
         from concurrent.futures import ThreadPoolExecutor
 
@@ -798,9 +819,10 @@ class CrawlEngine:
             fut_fcore = pool.submit(_frontier_core_job)
             extras = []
             if spec_items_all is not None:
-                extras.append(
-                    pool.submit(self.store.write_delta, "items", rnd, spec_items_all)
-                )
+                def _items_job():
+                    with self._job(f"r{rnd} items: spec extraction write"):
+                        self.store.write_delta("items", rnd, spec_items_all)
+                extras.append(pool.submit(_items_job))
             if cfg.detailed_metrics:
                 extras.append(pool.submit(_lineage_job))
             n_admitted = fut_seen.result()
