@@ -252,6 +252,9 @@ class CrawlEngine:
             self.robots = rules_df(spark, cfg.robots_rules)
         else:
             self.robots = None
+        # handle to the next round's pre-computed selection (filled by
+        # run_round's commit pool, claimed or discarded by run())
+        self._next_prep: dict | None = None
 
     @contextmanager
     def _job(self, label: str):
@@ -327,7 +330,102 @@ class CrawlEngine:
 
     # -- one round ------------------------------------------------------------
 
-    def run_round(self, rnd: int, corpus: DataFrame) -> dict:
+    def _prepare_round(
+        self,
+        rnd: int,
+        frontier: DataFrame | None,
+        inbox_n: int,
+        frontier_n: int | None,
+        materialize: bool,
+    ) -> dict:
+        """Round `rnd`'s selection: eligibility pushdown → robots split →
+        salted politeness windows → round cap → persist (+ rank). READ-ONLY
+        — stages nothing, so it may run from the PREVIOUS round's commit
+        pool as soon as that round's frontier files are complete,
+        overlapping the seen chain's tail (``materialize=True`` runs one
+        count to pull the politeness shuffle forward and warm the cache;
+        the count doubles as the miss fast-path's |selected|). `now` is
+        deterministic (t0 + rnd·round_seconds), so a prepared selection is
+        byte-identical to what the round itself would compute.
+
+        ``frontier`` None reads the given round's committed files (prep
+        path); the inline path passes its (possibly seed-unioned) DF.
+        ``frontier_n`` None falls back to the manifest stats (inline path);
+        the prep path passes the in-memory count observed during the
+        frontier write (the manifest entry is not committed yet)."""
+        cfg = self.cfg
+        now = cfg.t0 + rnd * cfg.round_seconds
+        if frontier is None:
+            frontier = self.store.read_frontier(rnd - 1)
+        eligible = frontier.filter(F.col("exetime") <= F.lit(now))
+        robots_blocked = None
+        if self.robots is not None:
+            from acrawler_spark.operators.robots import apply_robots
+
+            eligible, robots_blocked = apply_robots(eligible, self.robots)
+        # deferred (eligible-but-over-budget) rows are never materialized:
+        # the new frontier is frontier ANTI-JOIN selected (broadcast, the
+        # selected set is the small side), so the budget windows run exactly
+        # once and n_deferred falls out of the commit arithmetic.
+        selected, _deferred = apply_host_budgets(
+            eligible,
+            uniform=cfg.effective_host_budget(),
+            special=cfg.special_host_budgets,
+            salt_n=cfg.salt_n,
+        )
+        if cfg.round_cap is not None:
+            selected = selected.orderBy(*rank_keys()).limit(cfg.round_cap)
+        selected = selected.persist()
+        # schedule rank: the order the reference's workers would pop these
+        # tasks (score order). Exact global rank via range partitioning +
+        # offset merge (no single-partition Window — scale-safe for
+        # unbounded selected sets); record_rank=False skips the extra tiny
+        # count job for bench rounds that never read the rank.
+        rank_cache = None
+        if cfg.record_rank:
+            selected_ranked, rank_cache = global_schedule_rank(selected)
+        else:
+            selected_ranked = selected.withColumn(
+                "rank", F.monotonically_increasing_id().cast("long")
+            )
+        # Broadcast bound: round_cap if set, else the frontier row count
+        # (manifest stats, zero jobs — or the in-memory observation for a
+        # prepared round) PLUS the raw inbox url count — together an upper
+        # bound on this round's selected set (selected ⊆ eligible ⊆
+        # frontier ∪ inbox). At a 10^10-row frontier the bound exceeds
+        # broadcast_max_rows and the hint is withheld (AQE plans from
+        # runtime stats instead).
+        if cfg.round_cap is not None:
+            sel_bound = cfg.round_cap
+        else:
+            sel_bound = self._frontier_stats()[0] if frontier_n is None else frontier_n
+            sel_bound += inbox_n
+        bounded = cfg.broadcast_selected and sel_bound <= cfg.broadcast_max_rows
+        n_sel = None
+        if materialize:
+            with self._job(f"r{rnd} prepare: politeness windows + selected cache"):
+                n_sel = selected.count()
+        return {
+            "rnd": rnd,
+            "frontier": frontier,
+            "robots_blocked": robots_blocked,
+            "selected": selected,
+            "selected_ranked": selected_ranked,
+            "rank_cache": rank_cache,
+            "bounded": bounded,
+            "n_sel": n_sel,
+        }
+
+    def discard_prep(self, prep: dict | None) -> None:
+        """Release a prepared-but-unclaimed round's caches (idle jump, inbox
+        arrival, crawl end, max_rounds)."""
+        if prep is None:
+            return
+        prep["selected"].unpersist()
+        if prep["rank_cache"] is not None:
+            prep["rank_cache"].unpersist()
+
+    def run_round(self, rnd: int, corpus: DataFrame, prep: dict | None = None) -> dict:
         cfg = self.cfg
         now = cfg.t0 + rnd * cfg.round_seconds
         wall_start = time.monotonic()
@@ -343,11 +441,13 @@ class CrawlEngine:
         seen = self.store.read_appended("seen")
 
         # between-round seed ingestion (redis feeder analog; at-least-once,
-        # idempotent through the dupefilter — handlers.py:282-293)
+        # idempotent through the dupefilter — handlers.py:282-293). Skipped
+        # when the round was prepared: run() only hands prep over with an
+        # empty inbox, and files dropped after that drain next round.
         inbox_files: list[str] = []
         new_seed_rows = None
         inbox_n = 0  # raw inbox url count — free at drain, bounds admitted
-        if self.feeder is not None:
+        if self.feeder is not None and prep is None:
             inbox_df, inbox_files, inbox_n = self.feeder.drain(rnd, now)
             if inbox_df is not None:
                 new_seed_rows = admit_new_candidates(inbox_df, seen, self.bloom).persist()
@@ -357,15 +457,38 @@ class CrawlEngine:
         # under the same threshold as the selected set
         inbox_bounded = inbox_n <= cfg.broadcast_max_rows
 
-        eligible = frontier.filter(F.col("exetime") <= F.lit(now))
+        if prep is not None:
+            # selection pre-computed by the previous round's commit pool
+            # (read-only: politeness windows ran and `selected` is hot in
+            # cache while the seen chain's tail was still writing) — the
+            # round starts at the fetch join. run() guarantees prep is only
+            # handed over when rnd matches and no inbox files were pending
+            # at claim time; files dropped since then drain next round
+            # (at-least-once, unchanged).
+            frontier = prep["frontier"]
+            robots_blocked = prep["robots_blocked"]
+            selected = prep["selected"]
+            selected_ranked = prep["selected_ranked"]
+            rank_cache = prep["rank_cache"]
+            bounded = prep["bounded"]
+            n_sel_prepared = prep["n_sel"]
+        else:
+            sel = self._prepare_round(
+                rnd, frontier, inbox_n, frontier_n=None, materialize=False
+            )
+            robots_blocked = sel["robots_blocked"]
+            selected = sel["selected"]
+            selected_ranked = sel["selected_ranked"]
+            rank_cache = sel["rank_cache"]
+            bounded = sel["bounded"]
+            n_sel_prepared = None
 
         # robots.txt admission (north-rule addition; absent in reference —
         # SURVEY §7). Blocked rows are dropped permanently (they stay seen).
+        # The split is computed (lazily) in _prepare_round; the delta WRITE
+        # is always staged here, inside the round that commits it.
         robots_blocked_fps = None
-        if self.robots is not None:
-            from acrawler_spark.operators.robots import apply_robots
-
-            eligible, robots_blocked = apply_robots(eligible, self.robots)
+        if robots_blocked is not None:
             self.store.write_delta(
                 "robots_blocked",
                 rnd,
@@ -376,45 +499,6 @@ class CrawlEngine:
                 "robots_blocked", rnd
             ).select("fingerprint")
 
-        # deferred (eligible-but-over-budget) rows are never materialized:
-        # the new frontier is frontier ANTI-JOIN selected (broadcast, the
-        # selected set is the small side), so the budget windows run exactly
-        # once and n_deferred falls out of the commit arithmetic below.
-        selected, _deferred = apply_host_budgets(
-            eligible,
-            uniform=cfg.effective_host_budget(),
-            special=cfg.special_host_budgets,
-            salt_n=cfg.salt_n,
-        )
-        if cfg.round_cap is not None:
-            selected = selected.orderBy(*rank_keys()).limit(cfg.round_cap)
-        selected = selected.persist()
-
-        # schedule rank: the order the reference's workers would pop these
-        # tasks (score order). Exact global rank via range partitioning +
-        # offset merge (no single-partition Window — scale-safe for
-        # unbounded selected sets); record_rank=False skips the extra tiny
-        # count job for bench rounds that never read the rank.
-        rank_cache = None
-        if cfg.record_rank:
-            selected_ranked, rank_cache = global_schedule_rank(selected)
-        else:
-            selected_ranked = selected.withColumn(
-                "rank", F.monotonically_increasing_id().cast("long")
-            )
-
-        # Broadcast bound: round_cap if set, else the committed frontier row
-        # count from the manifest (zero jobs) PLUS the raw inbox url count
-        # (free at drain) — together an upper bound on this round's
-        # selected set (selected ⊆ eligible ⊆ committed frontier ∪ inbox).
-        # At a 10^10-row frontier the bound exceeds broadcast_max_rows and
-        # the hint is withheld (AQE plans from runtime stats instead).
-        if cfg.round_cap is not None:
-            sel_bound = cfg.round_cap
-        else:
-            sel_bound, _ = self._frontier_stats()
-            sel_bound += inbox_n
-        bounded = cfg.broadcast_selected and sel_bound <= cfg.broadcast_max_rows
         fetched = build_fetch_join(selected_ranked, corpus, frontier.columns, cfg, bounded)
 
         # ok (http.py:270-281): status==200 OR allowed==[] OR status IN
@@ -551,8 +635,12 @@ class CrawlEngine:
         # Steady-state rounds of a converged crawl are all hits, so this is
         # the common case the round loop is sized for.
         pstats = obs_pages.get
-        with self._job(f"r{rnd} miss check: cached selected count"):
-            n_sel_exact = selected.count() if cfg.corpus_unique_keys else -1
+        if n_sel_prepared is not None:
+            # the prepare materialization already counted selected — free
+            n_sel_exact = n_sel_prepared if cfg.corpus_unique_keys else -1
+        else:
+            with self._job(f"r{rnd} miss check: cached selected count"):
+                n_sel_exact = selected.count() if cfg.corpus_unique_keys else -1
         if cfg.corpus_unique_keys and int(pstats["n_selected"] or 0) == n_sel_exact:
             mstats = {"n_selected": 0, "n_ok": 0, "n_failed": 0, "n_defer_user": 0}
         else:
@@ -807,15 +895,21 @@ class CrawlEngine:
         # count() would have filled it) — one serial barrier job less per
         # round than the previous count()-then-write ordering; the other
         # writers then race only on cheap cache reads.
-        with ThreadPoolExecutor(max_workers=5) as pool:
-            fut_seen = pool.submit(_seen_job)
+        with ThreadPoolExecutor(max_workers=6) as pool:
+            # ONE job materializes the admitted cache (the expensive admit
+            # pipeline: candidates agg + Bloom probe + anti-join); the seen
+            # write and the frontier append then consume a hot cache.
             # items/lineage/frontier-core read only the pages delta, the
             # selected cache, and the prior frontier (all hot/materialized
             # by the fetch phase) — they never touch admitted, so they run
-            # beside the seen write; only the admitted append (the second
-            # admitted consumer) waits for the materializing job, and it
-            # must also follow the core overwrite (overwrite clears the
-            # frontier dir the append lands in).
+            # beside the materializer; the admitted append (second admitted
+            # consumer) must also follow the core overwrite (overwrite
+            # clears the frontier dir the append lands in).
+            def _cache_job() -> None:
+                with self._job(f"r{rnd} admitted: admit pipeline + cache"):
+                    admitted.count()
+
+            fut_cache = pool.submit(_cache_job)
             fut_fcore = pool.submit(_frontier_core_job)
             extras = []
             if spec_items_all is not None:
@@ -825,21 +919,39 @@ class CrawlEngine:
                 extras.append(pool.submit(_items_job))
             if cfg.detailed_metrics:
                 extras.append(pool.submit(_lineage_job))
-            n_admitted = fut_seen.result()
+            fut_cache.result()
+            fut_seen = pool.submit(_seen_job)  # hot cache: bloom + write tail
             fstats_core = fut_fcore.result()
             fstats_adm = _frontier_admitted_job()
+            fstats = {
+                "n": int(fstats_core["n"] or 0) + int(fstats_adm["n"] or 0),
+                "min_exetime": min(
+                    (x for x in (fstats_core["min_exetime"],
+                                 fstats_adm["min_exetime"]) if x is not None),
+                    default=None,
+                ),
+                "n_due_now": int(fstats_core["n_due_now"] or 0)
+                + int(fstats_adm["n_due_now"] or 0),
+            }
+            # frontier files are complete here — PREPARE the next round
+            # (read-only: politeness windows + selected cache) while the
+            # seen chain's tail and the extras drain. run() claims or
+            # discards the handle; a crash loses only cached work.
+            fut_prep = None
+            now_next = cfg.t0 + (rnd + 1) * cfg.round_seconds
+            if (
+                fstats["n"] > 0
+                and fstats["min_exetime"] is not None
+                and fstats["min_exetime"] <= now_next
+                and not (self.feeder is not None and self.feeder.pending_files())
+            ):
+                fut_prep = pool.submit(
+                    self._prepare_round, rnd + 1, None, 0, fstats["n"], True
+                )
+            n_admitted = fut_seen.result()
             for f in extras:
                 f.result()
-        fstats = {
-            "n": int(fstats_core["n"] or 0) + int(fstats_adm["n"] or 0),
-            "min_exetime": min(
-                (x for x in (fstats_core["min_exetime"], fstats_adm["min_exetime"])
-                 if x is not None),
-                default=None,
-            ),
-            "n_due_now": int(fstats_core["n_due_now"] or 0)
-            + int(fstats_adm["n_due_now"] or 0),
-        }
+            self._next_prep = fut_prep.result() if fut_prep is not None else None
         # rows still due right now = politeness-deferred + retries + admitted
         # (all three carry exetime == now; recrawls, user-deferred and
         # ineligible rows are strictly future). Reported "deferred" folds in
@@ -930,6 +1042,7 @@ class CrawlEngine:
             self.store.abort_uncommitted(self.store.last_round + 1)
         history = []
         rnd = self.store.last_round + 1
+        prep = None
         while rnd <= max_rounds:
             now = cfg.t0 + rnd * cfg.round_seconds
             n, min_exetime = self._frontier_stats()
@@ -938,11 +1051,20 @@ class CrawlEngine:
                 break  # crawl finished (counter.join() == 0, crawler.py:706-724)
             if n > 0 and min_exetime is not None and min_exetime > now and not has_inbox:
                 # jump to the first round with a due row (idle ticks are free)
+                self.discard_prep(prep)
+                prep = None
                 due_round = math.ceil((min_exetime - cfg.t0) / cfg.round_seconds)
                 rnd = max(rnd + 1, due_round)
                 continue
-            history.append(self.run_round(rnd, corpus))
+            if prep is not None and (prep["rnd"] != rnd or has_inbox):
+                # inbox files arrived after the prepare (its frontier lacks
+                # the seeds) or the loop moved — recompute inline
+                self.discard_prep(prep)
+                prep = None
+            history.append(self.run_round(rnd, corpus, prep=prep))
+            prep, self._next_prep = self._next_prep, None
             rnd += 1
+        self.discard_prep(prep)
         self.flush_metrics()
         # position 3 = on_close (middleware.py:129-137): sink flush hooks;
         # called with the committed store (not a row DataFrame)
