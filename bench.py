@@ -691,11 +691,15 @@ def main() -> None:
                 "low": runs[low_cpus],
             })
             done_min_reps = _rep + 1 >= max(reps, 2)
+            # stop only when each level has >=3 clean reps — as long as the
+            # budget gate above says another pair fits, spend the slack on
+            # sample size (the host's ±7-13% weather spread is the dominant
+            # error term; a 2-pair median rests on single-rep medians)
             both_clean = all(
                 sum(
                     1 for r in runs[lvl]
                     if not r.get("hung") and _steal_frac(r) < STEAL_FRAC_MAX
-                ) >= 2
+                ) >= 3
                 for lvl in (hi_cpus, low_cpus)
             )
             if done_min_reps and both_clean:
