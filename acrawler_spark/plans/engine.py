@@ -255,6 +255,14 @@ class CrawlEngine:
         # handle to the next round's pre-computed selection (filled by
         # run_round's commit pool, claimed or discarded by run())
         self._next_prep: dict | None = None
+        # full next-round prefetch: {"rnd": int, "fut": Future} whose result
+        # is {"prep", "obs_pages", "staged_cols", "release"} — the prepared
+        # selection PLUS the staged pages delta for round rnd, computed on
+        # the engine-level pipeline pool while the current round's commit
+        # tail drains (claimed or discarded by run())
+        self._next_pages: dict | None = None
+        self._pipe_pool = None  # lazy ThreadPoolExecutor, engine lifetime
+        self._in_run = False  # True while run() drives the round loop
 
     @contextmanager
     def _job(self, label: str):
@@ -425,7 +433,161 @@ class CrawlEngine:
         if prep["rank_cache"] is not None:
             prep["rank_cache"].unpersist()
 
-    def run_round(self, rnd: int, corpus: DataFrame, prep: dict | None = None) -> dict:
+    def discard_prefetch(self, pf: dict | None) -> None:
+        """Release an unclaimed full prefetch: wait out its in-flight job,
+        drop its caches, and remove the staged (never-committed) pages
+        delta. Rare path — inbox arrival between launch and claim, crawl
+        end, or max_rounds."""
+        if pf is None:
+            return
+        try:
+            handle = pf["fut"].result()
+        except Exception:
+            handle = None
+        if handle is not None:
+            self.discard_prep(handle["prep"])
+            for df in handle["release"]:
+                df.unpersist()
+        self.store.abort_uncommitted(pf["rnd"])
+
+    def _stage_pages(
+        self, rnd: int, frontier_cols: list[str], src: DataFrame
+    ) -> tuple[DataFrame, Observation]:
+        """The page-staging pipeline, shared by the hits branch and the
+        (post-write) misses branch so middleware, flag derivation, and
+        counters are row-wise identical to the old single-union plan."""
+        cfg = self.cfg
+        # ok (http.py:270-281): status==200 OR allowed==[] OR status IN
+        # allowed; the per-request status_allowed column overrides the crawl
+        # config (NULL -> config default). A corpus miss is a fetch
+        # exception, not a status — never ok.
+        if cfg.status_allowed is None:
+            cfg_ok = F.col("status") == 200
+        elif cfg.status_allowed == []:
+            cfg_ok = F.lit(True)
+        else:
+            cfg_ok = (F.col("status") == 200) | F.col("status").isin(cfg.status_allowed)
+        row_ok = (
+            (F.col("status") == 200)
+            | (F.size("status_allowed") == 0)
+            | F.array_contains(F.col("status_allowed"), F.col("status"))
+        )
+        ok_col = F.when(F.col("status_allowed").isNotNull(), row_ok).otherwise(cfg_ok)
+
+        df = src.withColumn("ok", ok_col & F.col("c_url").isNotNull())
+        df = df.withColumn("tries_done", F.col("tries") + 1)
+
+        # handler middleware, position 1 = before execution
+        # (task.py:137-139). Control-flow exceptions are columnar flags
+        # a handler may set (exceptions.py:1-43):
+        #   _skip    -> SkipTaskError: no parse/items/links, counted ok
+        #   _defer_s -> ReScheduleError(defer): re-enqueued at
+        #               now+defer_s, dont_filter, tries kept incremented
+        #               (task.py:120 — the increment precedes the
+        #               raise), NOT counted
+        df = self._apply_handlers("before_parse", df, rnd)
+        defer_col = (
+            F.coalesce(F.col("_defer_s").cast("double"), F.lit(0.0))
+            if "_defer_s" in df.columns
+            else F.lit(0.0)
+        )
+        skip_col = (
+            F.coalesce(F.col("_skip").cast("boolean"), F.lit(False))
+            if "_skip" in df.columns
+            else F.lit(False)
+        )
+        df = df.withColumn("defer_s", defer_col).withColumn("skipped", skip_col)
+        # skipped rows count as success (crawler.py:85-86 + counter
+        # flag 1); deferred rows are neither success nor failure (-2)
+        df = df.withColumn(
+            "ok", (F.col("ok") | F.col("skipped")) & (F.col("defer_s") <= 0)
+        )
+
+        # parse gate: only ok, unskipped pages matching in_pattern are
+        # parsed (parser.py:62-73); masked JVM-side by nulling html so
+        # the Arrow UDF sees one batch stream, skipping gated rows free
+        parse_gate = F.col("ok") & ~F.col("skipped")
+        if cfg.in_pattern:
+            parse_gate = parse_gate & F.col("url_canon").rlike(cfg.in_pattern)
+
+        staged = df.select(
+            *frontier_cols,
+            "rank",
+            "status",
+            "ok",
+            "defer_s",
+            "skipped",
+            "tries_done",
+            "lang",
+            F.coalesce(F.length("html"), F.lit(0)).cast("long").alias("bytes"),
+            self._parse_udf(
+                F.when(parse_gate, F.col("html")),
+                F.col("encoding"),
+                F.col("url_canon"),
+            ).alias("parsed"),
+        ).select(
+            "*",
+            F.col("parsed.text").alias("text"),
+            F.col("parsed.links").alias("links"),
+        ).drop("parsed").withColumn("round", F.lit(rnd))
+        # position 2 = after execution (task.py:144-147) — applied
+        # before staging, so the written pages delta is the canonical
+        # post-middleware page state and the virtual
+        # items/fetch_log/failed views (plans/views.py) see handler
+        # effects
+        staged = self._apply_handlers("after_parse", staged, rnd)
+        # terminal-failure flag materialized so the failed view is
+        # config-free; ignore_exception short-circuits the retry ladder
+        # (task.py:51)
+        staged = staged.withColumn(
+            "final_fail",
+            ~F.col("ok")
+            & (F.col("defer_s") <= 0)
+            & ((F.col("tries_done") > cfg.max_tries) | F.col("ignore_exception")),
+        )
+        # round counters ride the staging job via observe() — no
+        # separate aggregation job (VERDICT r1: per-round driver-job
+        # count was the scaling-efficiency floor)
+        obs = Observation()
+        staged = staged.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum(F.col("ok").cast("long")).alias("n_ok"),
+            F.sum(F.col("final_fail").cast("long")).alias("n_failed"),
+            F.sum((F.col("defer_s") > 0).cast("long")).alias("n_defer_user"),
+        )
+        return staged, obs
+
+    def _run_pages_job(
+        self,
+        rnd: int,
+        selected_ranked: DataFrame,
+        bounded: bool,
+        frontier_cols: list[str],
+        corpus: DataFrame,
+    ) -> tuple[Observation, list[str]]:
+        """Stage the round's page-level result: ONE heavy job runs
+        fetch-join + Arrow parse and writes the hits delta with html
+        DROPPED (text+links kept). Every downstream consumer (items,
+        fetch_log, candidates, retry/recrawl, metrics) is a column-pruned
+        scan of this delta — the UDF runs exactly once per page and no
+        multi-hundred-MB cache blocks churn the executors. Callable from
+        the round's own thread OR the pipeline pool (prefetch)."""
+        fetched = build_fetch_join(
+            selected_ranked, corpus, frontier_cols, self.cfg, bounded
+        )
+        staged, obs = self._stage_pages(rnd, frontier_cols, fetched)
+        with self._job(f"r{rnd} pages: fetch-join + parse + write"):
+            self.store.write_delta("pages", rnd, staged)
+        return obs, staged.columns
+
+    def run_round(
+        self,
+        rnd: int,
+        corpus: DataFrame,
+        prep: dict | None = None,
+        prefetch: dict | None = None,
+    ) -> dict:
         cfg = self.cfg
         now = cfg.t0 + rnd * cfg.round_seconds
         wall_start = time.monotonic()
@@ -437,8 +599,55 @@ class CrawlEngine:
             timing[label] = round(nowm - _t[0], 2)
             _t[0] = nowm
 
+        # how this round's selection+pages came to be (bench/debug audit):
+        # "prefetch" = claimed a full pipelined round, "prep" = claimed a
+        # prepared selection, "inline" = computed everything in-round
+        timing["mode"] = (
+            "prefetch" if prefetch is not None else ("prep" if prep is not None else "inline")
+        )
+
+        # a prefetch nobody claimed (direct run_round calls, e.g. tests or
+        # resume drivers) must be retired BEFORE this round runs: its
+        # staged write races an inline rewrite of the same delta dir
+        if self._next_pages is not None and prefetch is not self._next_pages:
+            self.discard_prefetch(self._next_pages)
+            self._next_pages = None
+        if prefetch is not None:
+            self._next_pages = None  # claimed — no longer pending
+
         frontier = self.store.read_frontier()
         seen = self.store.read_appended("seen")
+
+        # full prefetch claim: the previous round's pipeline pool already
+        # ran this round's selection AND its pages stage (fetch-join +
+        # parse + staged write). result() waits out the in-flight write —
+        # normally it is the only thing left running, so this IS the
+        # round's pages wall. run() guarantees rnd matches and no inbox
+        # files were pending at claim time.
+        handle = None
+        if prefetch is not None:
+            handle = prefetch["fut"].result()
+            prep = handle["prep"]
+            # the prepared selection was derived from the previous round's
+            # IN-MEMORY frontier plan; this round's commit (frontier
+            # rewrite anti-join, columns) must read the committed files
+            # instead — re-deriving the plan would recompute the prior
+            # round's politeness/admit chain from released caches
+            prep["frontier"] = self.store.read_frontier(rnd - 1)
+            if prep["robots_blocked"] is not None:
+                # rebuild the (lazy, tiny) robots split over the file-backed
+                # frontier for the same reason
+                from acrawler_spark.operators.robots import apply_robots
+
+                _, prep["robots_blocked"] = apply_robots(
+                    prep["frontier"].filter(F.col("exetime") <= F.lit(now)),
+                    self.robots,
+                )
+            # prior round's caches (selected/admitted/rank/seeds) were kept
+            # alive for the prefetch's politeness input — all its jobs are
+            # done now, release them
+            for df in handle["release"]:
+                df.unpersist()
 
         # between-round seed ingestion (redis feeder analog; at-least-once,
         # idempotent through the dupefilter — handlers.py:282-293). Skipped
@@ -499,122 +708,15 @@ class CrawlEngine:
                 "robots_blocked", rnd
             ).select("fingerprint")
 
-        fetched = build_fetch_join(selected_ranked, corpus, frontier.columns, cfg, bounded)
-
-        # ok (http.py:270-281): status==200 OR allowed==[] OR status IN
-        # allowed; the per-request status_allowed column overrides the crawl
-        # config (NULL -> config default). A corpus miss is a fetch
-        # exception, not a status — never ok.
-        if cfg.status_allowed is None:
-            cfg_ok = F.col("status") == 200
-        elif cfg.status_allowed == []:
-            cfg_ok = F.lit(True)
+        if handle is not None:
+            # pages already fetched+parsed+staged by the prefetch chain
+            # (the claim's fut.result() above waited out the write); the
+            # observation carries the round counters as usual
+            obs_pages, staged_cols = handle["obs_pages"], handle["staged_cols"]
         else:
-            cfg_ok = (F.col("status") == 200) | F.col("status").isin(cfg.status_allowed)
-        row_ok = (
-            (F.col("status") == 200)
-            | (F.size("status_allowed") == 0)
-            | F.array_contains(F.col("status_allowed"), F.col("status"))
-        )
-        ok_col = F.when(F.col("status_allowed").isNotNull(), row_ok).otherwise(cfg_ok)
-
-        def _stage(src: DataFrame) -> tuple[DataFrame, Observation]:
-            """The page-staging pipeline, shared by the hits branch and the
-            (post-write) misses branch so middleware, flag derivation, and
-            counters are row-wise identical to the old single-union plan."""
-            df = src.withColumn("ok", ok_col & F.col("c_url").isNotNull())
-            df = df.withColumn("tries_done", F.col("tries") + 1)
-
-            # handler middleware, position 1 = before execution
-            # (task.py:137-139). Control-flow exceptions are columnar flags
-            # a handler may set (exceptions.py:1-43):
-            #   _skip    -> SkipTaskError: no parse/items/links, counted ok
-            #   _defer_s -> ReScheduleError(defer): re-enqueued at
-            #               now+defer_s, dont_filter, tries kept incremented
-            #               (task.py:120 — the increment precedes the
-            #               raise), NOT counted
-            df = self._apply_handlers("before_parse", df, rnd)
-            defer_col = (
-                F.coalesce(F.col("_defer_s").cast("double"), F.lit(0.0))
-                if "_defer_s" in df.columns
-                else F.lit(0.0)
+            obs_pages, staged_cols = self._run_pages_job(
+                rnd, selected_ranked, bounded, frontier.columns, corpus
             )
-            skip_col = (
-                F.coalesce(F.col("_skip").cast("boolean"), F.lit(False))
-                if "_skip" in df.columns
-                else F.lit(False)
-            )
-            df = df.withColumn("defer_s", defer_col).withColumn("skipped", skip_col)
-            # skipped rows count as success (crawler.py:85-86 + counter
-            # flag 1); deferred rows are neither success nor failure (-2)
-            df = df.withColumn(
-                "ok", (F.col("ok") | F.col("skipped")) & (F.col("defer_s") <= 0)
-            )
-
-            # parse gate: only ok, unskipped pages matching in_pattern are
-            # parsed (parser.py:62-73); masked JVM-side by nulling html so
-            # the Arrow UDF sees one batch stream, skipping gated rows free
-            parse_gate = F.col("ok") & ~F.col("skipped")
-            if cfg.in_pattern:
-                parse_gate = parse_gate & F.col("url_canon").rlike(cfg.in_pattern)
-
-            staged = df.select(
-                *frontier.columns,
-                "rank",
-                "status",
-                "ok",
-                "defer_s",
-                "skipped",
-                "tries_done",
-                "lang",
-                F.coalesce(F.length("html"), F.lit(0)).cast("long").alias("bytes"),
-                self._parse_udf(
-                    F.when(parse_gate, F.col("html")),
-                    F.col("encoding"),
-                    F.col("url_canon"),
-                ).alias("parsed"),
-            ).select(
-                "*",
-                F.col("parsed.text").alias("text"),
-                F.col("parsed.links").alias("links"),
-            ).drop("parsed").withColumn("round", F.lit(rnd))
-            # position 2 = after execution (task.py:144-147) — applied
-            # before staging, so the written pages delta is the canonical
-            # post-middleware page state and the virtual
-            # items/fetch_log/failed views (plans/views.py) see handler
-            # effects
-            staged = self._apply_handlers("after_parse", staged, rnd)
-            # terminal-failure flag materialized so the failed view is
-            # config-free; ignore_exception short-circuits the retry ladder
-            # (task.py:51)
-            staged = staged.withColumn(
-                "final_fail",
-                ~F.col("ok")
-                & (F.col("defer_s") <= 0)
-                & ((F.col("tries_done") > cfg.max_tries) | F.col("ignore_exception")),
-            )
-            # round counters ride the staging job via observe() — no
-            # separate aggregation job (VERDICT r1: per-round driver-job
-            # count was the scaling-efficiency floor)
-            obs = Observation()
-            staged = staged.observe(
-                obs,
-                F.count(F.lit(1)).alias("n_selected"),
-                F.sum(F.col("ok").cast("long")).alias("n_ok"),
-                F.sum(F.col("final_fail").cast("long")).alias("n_failed"),
-                F.sum((F.col("defer_s") > 0).cast("long")).alias("n_defer_user"),
-            )
-            return staged, obs
-
-        # stage the round's page-level result: ONE heavy job runs
-        # fetch-join + Arrow parse and writes the hits delta with html
-        # DROPPED (text+links kept). Every downstream consumer (items,
-        # fetch_log, candidates, retry/recrawl, metrics) is a column-pruned
-        # scan of this delta — the UDF runs exactly once per page and no
-        # multi-hundred-MB cache blocks churn the executors.
-        pages_staged, obs_pages = _stage(fetched)
-        with self._job(f"r{rnd} pages: fetch-join + parse + write"):
-            self.store.write_delta("pages", rnd, pages_staged)
         tick("pages_stage")
 
         # misses staged SECOND, against the round's own output: the old
@@ -645,13 +747,15 @@ class CrawlEngine:
             mstats = {"n_selected": 0, "n_ok": 0, "n_failed": 0, "n_defer_user": 0}
         else:
             hit_fps = self.store.read_delta_one("pages", rnd).select("fingerprint")
-            miss_staged, obs_miss = _stage(
-                build_misses(selected_ranked, hit_fps, frontier.columns, bounded)
+            miss_staged, obs_miss = self._stage_pages(
+                rnd,
+                frontier.columns,
+                build_misses(selected_ranked, hit_fps, frontier.columns, bounded),
             )
             with self._job(f"r{rnd} misses: anti-join vs written hits + append"):
                 self.store.append_delta(
                     "pages", rnd,
-                    miss_staged.select(*[F.col(c) for c in pages_staged.columns]),
+                    miss_staged.select(*[F.col(c) for c in staged_cols]),
                 )
             mstats = obs_miss.get
         n_selected = int(pstats["n_selected"] or 0) + int(mstats["n_selected"] or 0)
@@ -774,6 +878,26 @@ class CrawlEngine:
         # every counter rides a write via observe(); nothing is counted with
         # a standalone action.
 
+        # next frontier CORE = frontier \ selected (\ robots-blocked) +
+        # lifecycle re-entries — built once, consumed by (a) the frontier
+        # core writer and (b) the next-round prefetch's in-memory frontier
+        # (core ∪ admitted), which runs politeness for round rnd+1 without
+        # waiting for the frontier files to land
+        sel_fps = selected.select("fingerprint")
+        remaining = frontier.join(
+            F.broadcast(sel_fps) if bounded else sel_fps, "fingerprint", "left_anti"
+        )
+        if robots_blocked_fps is not None:
+            remaining = remaining.join(
+                F.broadcast(robots_blocked_fps), "fingerprint", "left_anti"
+            )
+        core_union = (
+            remaining.select(*frontier.columns)
+            .unionByName(retries.select(*frontier.columns))
+            .unionByName(recrawls.select(*frontier.columns))
+            .unionByName(deferred_user.select(*frontier.columns))
+        )
+
         def _seen_job() -> int:
             # seen delta + Bloom maintenance fused into one write job; the
             # admitted cache materializes here (or in the concurrent
@@ -836,20 +960,7 @@ class CrawlEngine:
             # `admitted` — so it runs CONCURRENTLY with the seen job instead
             # of serializing behind it; the admitted branch appends after
             # (its cache is materialized by the seen write).
-            sel_fps = selected.select("fingerprint")
-            remaining = frontier.join(
-                F.broadcast(sel_fps) if bounded else sel_fps, "fingerprint", "left_anti"
-            )
-            if robots_blocked_fps is not None:
-                remaining = remaining.join(
-                    F.broadcast(robots_blocked_fps), "fingerprint", "left_anti"
-                )
-            new_frontier, obs = _frontier_obs(
-                remaining.select(*frontier.columns)
-                .unionByName(retries.select(*frontier.columns))
-                .unionByName(recrawls.select(*frontier.columns))
-                .unionByName(deferred_user.select(*frontier.columns))
-            )
+            new_frontier, obs = _frontier_obs(core_union)
             with self._job(f"r{rnd} frontier core: anti-join + re-entries write"):
                 self.store.write_frontier(rnd, new_frontier)
             return obs.get
@@ -895,6 +1006,7 @@ class CrawlEngine:
         # count() would have filled it) — one serial barrier job less per
         # round than the previous count()-then-write ordering; the other
         # writers then race only on cheap cache reads.
+        tick("commit_dag_build")  # py4j plan construction since misses tick
         with ThreadPoolExecutor(max_workers=6) as pool:
             # ONE job materializes the admitted cache (the expensive admit
             # pipeline: candidates agg + Bloom probe + anti-join); the seen
@@ -905,9 +1017,9 @@ class CrawlEngine:
             # beside the materializer; the admitted append (second admitted
             # consumer) must also follow the core overwrite (overwrite
             # clears the frontier dir the append lands in).
-            def _cache_job() -> None:
+            def _cache_job() -> int:
                 with self._job(f"r{rnd} admitted: admit pipeline + cache"):
-                    admitted.count()
+                    return admitted.count()
 
             fut_cache = pool.submit(_cache_job)
             fut_fcore = pool.submit(_frontier_core_job)
@@ -919,8 +1031,65 @@ class CrawlEngine:
                 extras.append(pool.submit(_items_job))
             if cfg.detailed_metrics:
                 extras.append(pool.submit(_lineage_job))
-            fut_cache.result()
+            n_adm_cached = fut_cache.result()
             fut_seen = pool.submit(_seen_job)  # hot cache: bloom + write tail
+
+            # FULL next-round prefetch: admitted rows carry exetime == now,
+            # so n_adm_cached > 0 proves round rnd+1 has due work — run its
+            # whole selection (politeness) AND its pages stage (fetch-join
+            # + parse + staged write) on the engine-level pipeline pool,
+            # overlapping this round's commit tail and the loop bookkeeping.
+            # The politeness input is the IN-MEMORY core ∪ admitted plan
+            # (cached inputs; no wait for the frontier files), byte-
+            # identical to the file-backed plan. |selected(rnd+1)| ≤
+            # |frontier(rnd)| ≤ prior_frontier_n + n_selected (re-entries:
+            # each selected row spawns at most one) + n_adm_cached — the
+            # broadcast bound stays proven. This round's caches transfer to
+            # the handle and are released when the next round claims it.
+            # gated on the engine's own run() loop driving: a direct
+            # run_round() caller (tests, external drivers) gets strictly
+            # synchronous rounds — a prefetch it never claims could race
+            # another engine instance on the same store (staged-dir
+            # delete/overwrite under an in-flight write)
+            if (
+                self._in_run
+                and n_adm_cached > 0
+                and not (self.feeder is not None and self.feeder.pending_files())
+            ):
+                next_frontier_mem = core_union.unionByName(
+                    admitted.select(*frontier.columns)
+                )
+                prior_n, _ = self._frontier_stats()
+                bound_next = prior_n + n_selected + n_adm_cached
+                release = [selected, admitted]
+                if rank_cache is not None:
+                    release.append(rank_cache)
+                if new_seed_rows is not None:
+                    release.append(new_seed_rows)
+                fcols = list(frontier.columns)
+
+                def _prefetch_job() -> dict:
+                    p = self._prepare_round(
+                        rnd + 1, next_frontier_mem, 0, bound_next, True
+                    )
+                    obs2, cols2 = self._run_pages_job(
+                        rnd + 1, p["selected_ranked"], p["bounded"], fcols, corpus
+                    )
+                    return {
+                        "prep": p,
+                        "obs_pages": obs2,
+                        "staged_cols": cols2,
+                        "release": release,
+                    }
+
+                if self._pipe_pool is None:
+                    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+                    self._pipe_pool = _TPE(max_workers=2)
+                self._next_pages = {
+                    "rnd": rnd + 1,
+                    "fut": self._pipe_pool.submit(_prefetch_job),
+                }
             fstats_core = fut_fcore.result()
             fstats_adm = _frontier_admitted_job()
             fstats = {
@@ -940,7 +1109,8 @@ class CrawlEngine:
             fut_prep = None
             now_next = cfg.t0 + (rnd + 1) * cfg.round_seconds
             if (
-                fstats["n"] > 0
+                self._next_pages is None  # full prefetch already covers it
+                and fstats["n"] > 0
                 and fstats["min_exetime"] is not None
                 and fstats["min_exetime"] <= now_next
                 and not (self.feeder is not None and self.feeder.pending_files())
@@ -976,12 +1146,16 @@ class CrawlEngine:
         # (Iceberg rewrite_data_files analog)
         if self.store.delta_count("seen") >= cfg.seen_compact_deltas:
             self.store.compact("seen")
-        for df in (selected, admitted):
-            df.unpersist()
-        if rank_cache is not None:
-            rank_cache.unpersist()
-        if new_seed_rows is not None:
-            new_seed_rows.unpersist()
+        if self._next_pages is None:
+            for df in (selected, admitted):
+                df.unpersist()
+            if rank_cache is not None:
+                rank_cache.unpersist()
+            if new_seed_rows is not None:
+                new_seed_rows.unpersist()
+        # else: ownership transferred to the prefetch handle's `release`
+        # list — the in-flight politeness/pages chain still reads these
+        # caches; the claiming (or discarding) side unpersists them
         return {
             "round": rnd, "selected": n_selected, "ok": n_ok,
             "admitted": n_admitted, "deferred": n_deferred,
@@ -1038,33 +1212,57 @@ class CrawlEngine:
         if self.store.last_round < 0:
             self.bootstrap()
         else:
-            # crash replay: drop any files staged by an uncommitted round
+            # crash replay: drop any files staged by an uncommitted round —
+            # including one round further out (a prefetched next round may
+            # have staged its pages delta before the crash)
             self.store.abort_uncommitted(self.store.last_round + 1)
+            self.store.abort_uncommitted(self.store.last_round + 2)
         history = []
         rnd = self.store.last_round + 1
         prep = None
-        while rnd <= max_rounds:
-            now = cfg.t0 + rnd * cfg.round_seconds
-            n, min_exetime = self._frontier_stats()
-            has_inbox = bool(self.feeder and self.feeder.pending_files())
-            if n == 0 and not has_inbox:
-                break  # crawl finished (counter.join() == 0, crawler.py:706-724)
-            if n > 0 and min_exetime is not None and min_exetime > now and not has_inbox:
-                # jump to the first round with a due row (idle ticks are free)
-                self.discard_prep(prep)
-                prep = None
-                due_round = math.ceil((min_exetime - cfg.t0) / cfg.round_seconds)
-                rnd = max(rnd + 1, due_round)
-                continue
-            if prep is not None and (prep["rnd"] != rnd or has_inbox):
-                # inbox files arrived after the prepare (its frontier lacks
-                # the seeds) or the loop moved — recompute inline
-                self.discard_prep(prep)
-                prep = None
-            history.append(self.run_round(rnd, corpus, prep=prep))
-            prep, self._next_prep = self._next_prep, None
-            rnd += 1
-        self.discard_prep(prep)
+        pf = None
+        self._in_run = True
+        try:
+            while rnd <= max_rounds:
+                now = cfg.t0 + rnd * cfg.round_seconds
+                n, min_exetime = self._frontier_stats()
+                has_inbox = bool(self.feeder and self.feeder.pending_files())
+                if n == 0 and not has_inbox:
+                    break  # crawl finished (counter.join() == 0, crawler.py:706-724)
+                if n > 0 and min_exetime is not None and min_exetime > now and not has_inbox:
+                    # jump to the first round with a due row (idle ticks are free)
+                    self.discard_prefetch(pf)
+                    pf = None
+                    self.discard_prep(prep)
+                    prep = None
+                    due_round = math.ceil((min_exetime - cfg.t0) / cfg.round_seconds)
+                    rnd = max(rnd + 1, due_round)
+                    continue
+                if pf is not None and (pf["rnd"] != rnd or has_inbox):
+                    # inbox files arrived after the prefetch launched (its
+                    # frontier lacks the seeds) or the loop moved — retire it
+                    # and recompute inline
+                    self.discard_prefetch(pf)
+                    pf = None
+                if prep is not None and (prep["rnd"] != rnd or has_inbox):
+                    # inbox files arrived after the prepare (its frontier lacks
+                    # the seeds) or the loop moved — recompute inline
+                    self.discard_prep(prep)
+                    prep = None
+                history.append(self.run_round(rnd, corpus, prep=prep, prefetch=pf))
+                prep, self._next_prep = self._next_prep, None
+                pf, self._next_pages = self._next_pages, None
+                rnd += 1
+        finally:
+            self._in_run = False
+            self.discard_prefetch(pf)
+            self.discard_prep(prep)
+            pf = self._next_pages
+            self._next_pages = None
+            self.discard_prefetch(pf)
+            prep = self._next_prep
+            self._next_prep = None
+            self.discard_prep(prep)
         self.flush_metrics()
         # position 3 = on_close (middleware.py:129-137): sink flush hooks;
         # called with the committed store (not a row DataFrame)
