@@ -347,3 +347,61 @@ def test_robots_gate_blocks_by_prefix(spark, sf001):
         else:
             expect = False
         assert r.blocked == expect, (r.url_canon, r.host, r.blocked)
+
+
+# -- round software-pipelining (prefetch claim/discard, engine.py run loop) --
+
+
+def test_prefetch_discard_at_max_rounds_leaves_no_staged_files(spark, tmp_path):
+    """A max_rounds cutoff mid-growth discards the prefetched next round:
+    its staged pages delta must be gone (abort protocol), the manifest must
+    end at the cutoff round, and a fresh engine resuming on the same store
+    must converge to exactly the uninterrupted run's final state."""
+    import os
+
+    from acrawler_spark.sources.corpus import fixture_corpus_df, seed_urls
+
+    corpus = fixture_corpus_df(spark, n_hosts=2, depth=2, fanout=3)
+    cfg = CrawlConfig(
+        seeds=seed_urls(2), follow_patterns=[r"site\d+\.test"], bloom_bits=1 << 14
+    )
+
+    s_full = CheckpointStore(str(tmp_path / "full"), spark)
+    CrawlEngine(spark, cfg, s_full).run(corpus)
+
+    s_cut = CheckpointStore(str(tmp_path / "cut"), spark)
+    e = CrawlEngine(spark, cfg, s_cut)
+    e.run(corpus, max_rounds=1)  # round 2 was prefetched mid-round-1
+    assert s_cut.last_round == 1
+    assert not os.path.exists(
+        os.path.join(str(tmp_path / "cut"), "pages", "delta_round=2")
+    ), "discarded prefetch left staged files"
+
+    CrawlEngine(spark, cfg, CheckpointStore(str(tmp_path / "cut"), spark)).run(corpus)
+
+    def state(store):
+        seen = {r["fingerprint"] for r in store.read_appended("seen").collect()}
+        sched = {
+            (r["round"], r["url_canon"])
+            for r in store.read_appended("fetch_log").collect()
+        }
+        return seen, sched
+
+    assert state(s_cut) == state(s_full)
+
+
+def test_pipelined_rounds_report_mode(spark, tmp_path):
+    """run() pipelines steady rounds: with follow patterns and a multi-round
+    corpus, at least one round after the first must have been claimed from
+    the prefetch (mode == 'prefetch'), and round 1 is always inline."""
+    from acrawler_spark.sources.corpus import fixture_corpus_df, seed_urls
+
+    corpus = fixture_corpus_df(spark, n_hosts=2, depth=2, fanout=3)
+    cfg = CrawlConfig(
+        seeds=seed_urls(2), follow_patterns=[r"site\d+\.test"], bloom_bits=1 << 14
+    )
+    store = CheckpointStore(str(tmp_path / "s"), spark)
+    history = CrawlEngine(spark, cfg, store).run(corpus)
+    modes = [h["timing"]["mode"] for h in history]
+    assert modes[0] == "inline"
+    assert len(modes) >= 2 and "prefetch" in modes[1:], modes
