@@ -988,7 +988,10 @@ def _write_baseline_md(r: dict) -> None:
             "memory-bandwidth pressure is invisible to /proc/stat steal);",
             "the cross-run history row above is the stable summary",
             "statistic, and the CPU-normalized ratio is the steal-immune",
-            "number (stolen cycles are not busy cycles).",
+            "number (stolen cycles are not busy cycles). The history spans",
+            "engine generations: entries before the round-pipelining change",
+            "(the first four pair-medians, all < 0.8) measured the previous",
+            "engine — see BENCH/HISTORY.md for the per-era breakdown.",
             "",
             "Steady state = rounds moving >=5% of the corpus; the BFS warm-up",
             "rounds are a constant serial prefix that vanishes at 10^10-URL",
