@@ -1409,6 +1409,79 @@ FROM o
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+# Language Models Better": the ExactSubstr pass): a k-token window occurring
+# verbatim in more than one document marks a duplicated span. Per document:
+# window count, duplicated-window count, duplicated fraction. Scale shape:
+# stride-1 windows explode the corpus ~k tokens wide -> ONE shuffle keyed by
+# the window (map-side partial agg collapses repeats), distinct-doc counting
+# per window, then a semi-join back. In production the window key is
+# xxhash64(window) (8 bytes instead of ~300) and the suffix-automaton
+# longest-run extension runs as a second pass over the marked positions;
+# the string key here keeps the DuckDB oracle exact. k=4 because the
+# synthetic corpus draws from a ~30-word vocabulary (production uses ~50).
+# ---------------------------------------------------------------------------
+
+_SUB_K = 4
+
+
+def _sub_windows(docs: DataFrame) -> DataFrame:
+    words = F.split(F.col("text"), " ")
+    wins = F.when(
+        F.size(words) >= _SUB_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (_SUB_K - 1)),
+            lambda i: F.array_join(F.slice(words, i, _SUB_K), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.explode(wins).alias("win"))
+
+
+def q_dedup_exact_substring(spark, sf_dir):
+    w = _sub_windows(_t(spark, sf_dir, "documents"))
+    dup_wins = (
+        w.groupBy("win")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("win")
+    )
+    per_doc = w.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
+    dup_per_doc = (
+        w.join(dup_wins, "win", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_windows"))
+    )
+    return per_doc.join(dup_per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("long").alias("n_dup_windows"),
+        F.round(
+            F.coalesce(F.col("n_dup_windows"), F.lit(0)) / F.col("n_windows"), 4
+        ).alias("dup_ratio"),
+    )
+
+
+SQL_DEDUP_EXACT_SUBSTRING = f"""
+WITH w AS (
+  SELECT doc_id, array_to_string(words[i : i + {_SUB_K} - 1], ' ') AS win
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       unnest(range(1, len(words) - {_SUB_K} + 2)) AS t(i)
+  WHERE len(words) >= {_SUB_K}
+), d AS (
+  SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2
+), pd AS (
+  SELECT doc_id, count(*) AS n_windows FROM w GROUP BY doc_id
+), md AS (
+  SELECT w.doc_id, count(*) AS n_dup FROM w SEMI JOIN d USING (win) GROUP BY w.doc_id
+)
+SELECT p.doc_id, p.n_windows,
+       CAST(coalesce(m.n_dup, 0) AS BIGINT) AS n_dup_windows,
+       round(coalesce(m.n_dup, 0) * 1.0 / p.n_windows, 4) AS dup_ratio
+FROM pd p LEFT JOIN md m USING (doc_id)
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -1416,6 +1489,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, SQL_DEDUP_MINHASH_PAIRS),
+    "dedup_exact_substring": (q_dedup_exact_substring, SQL_DEDUP_EXACT_SUBSTRING),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),

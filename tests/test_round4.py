@@ -405,3 +405,28 @@ def test_pipelined_rounds_report_mode(spark, tmp_path):
     modes = [h["timing"]["mode"] for h in history]
     assert modes[0] == "inline"
     assert len(modes) >= 2 and "prefetch" in modes[1:], modes
+
+
+def test_exact_substring_dedup_windows(spark, tmp_path):
+    """Two docs sharing a verbatim 4-token span have exactly the shared
+    windows flagged; a vocabulary-disjoint doc reports zero duplicated
+    windows; a doc shorter than the window width is absent."""
+    from acrawler_spark.textops import q_dedup_exact_substring
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),      # 9 words, 6 windows
+        (1, "said the quick brown fox jumps away"),              # 7 words, 4 windows
+        (2, "completely unrelated vocabulary tokens here argue"), # 6 words, 3 windows
+        (3, "too short"),                                         # < k: no windows
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    got = {r.doc_id: (r.n_windows, r.n_dup_windows) for r in
+           q_dedup_exact_substring(spark, sf).collect()}
+    # shared spans: "the quick brown fox" and "quick brown fox jumps"
+    assert got[0] == (6, 2)
+    assert got[1] == (4, 2)
+    assert got[2] == (3, 0)
+    assert 3 not in got
