@@ -646,15 +646,22 @@ def main() -> None:
         for _rep in range(max_reps):
             first = _rep == 0
             if not first:
-                # gate pairs 3..max_reps on the measured cost of the last
-                # pair; the first two pairs (the minimum for a median) are
-                # unconditional
+                # gate EVERY pair after the first on the measured cost of
+                # the last pair (r4 lesson: a cold corpus build + one
+                # storm-taxed pair put the two-mandatory-pairs regime at
+                # 1751 s — past the budget AND the driver's observed kill
+                # ceiling; an over-budget run risks recording NOTHING, which
+                # is strictly worse than a one-pair run with a note). Pair 2
+                # is dropped only when clearly doomed (1.0x the measured
+                # pair cost); pairs 3+ must fit with a 1.25x storm margin
+                # (pair costs grew up to ~30% mid-run under throttling).
                 elapsed = time.monotonic() - t_start
-                if _rep >= 2 and elapsed + pair_secs > budget_s - reserve_s:
+                margin = 1.0 if _rep == 1 else 1.25
+                if elapsed + margin * pair_secs > budget_s - reserve_s:
                     budget_note = (
                         f"stopped after {_rep} pairs: elapsed {elapsed:.0f}s"
-                        f" + last pair {pair_secs:.0f}s would exceed budget"
-                        f" {budget_s:.0f}s - reserve {reserve_s:.0f}s"
+                        f" + {margin:.2f}x last pair {pair_secs:.0f}s would"
+                        f" exceed budget {budget_s:.0f}s - reserve {reserve_s:.0f}s"
                     )
                     break
             t_pair = time.monotonic()
