@@ -390,6 +390,57 @@ def _pure_cpu_ops_per_sec(n_procs: int, secs: float = 6.0) -> float:
     return c.value / (time.monotonic() - t0)
 
 
+def _mem_bw_gbps(n_procs: int, secs: float = 2.0, mb: int = 64) -> float:
+    """Host calibration #2: aggregate DRAM bandwidth (GB/s; STREAM-triad
+    shape over float64 arrays far larger than last-level cache) of
+    n_procs barrier-aligned workers. The parse-kernel calibration above
+    runs hot in cache, so it tracks clocks and SMT but NOT the one
+    resource that cannot scale with cores on a shared host: memory
+    channels. A window where the 4->16 aggregate-bandwidth ratio
+    collapses explains a wall-clock pair loss that the steal counter and
+    the cached-page CPU calibration both miss (observed: a pair graded
+    0.561 while the CPU calibration read 0.871-0.912 'quiet' and steal
+    was <6% on every rep). Recorded per pair as audit evidence beside
+    the CPU calibration; on a real N->4N executor scale-up added nodes
+    add memory channels, so this ceiling is a single-box artifact."""
+    import multiprocessing as mp
+
+    n = mb * 1024 * 1024 // 8
+
+    def triad(acc, barrier):
+        import numpy as np
+
+        b = np.full(n, 1.5)
+        c = np.full(n, 0.5)
+        a = np.empty(n)
+        # touch every page of `a` before the timed window — first-write
+        # page faults (kernel page zeroing) otherwise dominate the first
+        # iteration and the reading measures the fault path, not DRAM
+        np.multiply(c, 3.0, out=a)
+        np.add(a, b, out=a)
+        barrier.wait()
+        stop_t = time.monotonic() + secs
+        iters = 0
+        while time.monotonic() < stop_t:
+            np.multiply(c, 3.0, out=a)   # read c, write a  (2 passes)
+            np.add(a, b, out=a)          # read a+b, write a (3 passes)
+            iters += 1
+        with acc.get_lock():
+            acc.value += iters
+
+    acc = mp.Value("q", 0)
+    barrier = mp.Barrier(n_procs + 1)
+    ps = [mp.Process(target=triad, args=(acc, barrier)) for _ in range(n_procs)]
+    for p in ps:
+        p.start()
+    barrier.wait()  # workers alloc'd; all start their timed window together
+    for p in ps:
+        p.join()
+    # 5 array passes x 8 bytes per element per iteration (STREAM convention:
+    # write-allocate traffic not counted)
+    return acc.value * 5 * n * 8 / secs / 1e9
+
+
 def _jvm_gc_ms(spark) -> int:
     """Cumulative GC time of the local-mode JVM via JMX (driver==executor
     here). The r2 inversion diagnosis metric: GC-bound 32-thread rounds
@@ -703,6 +754,15 @@ def main() -> None:
                 / (hi_cpus / low_cpus),
                 3,
             )
+            # DRAM-bandwidth reading for the same window (see _mem_bw_gbps:
+            # the only core-scaling ceiling the CPU calibration cannot see)
+            bw_low = _mem_bw_gbps(low_cpus)
+            bw_high = _mem_bw_gbps(hi_cpus)
+            pcal["low_bw_gbps"] = round(bw_low, 2)
+            pcal["high_bw_gbps"] = round(bw_high, 2)
+            pcal["bw_scaling"] = round(
+                (bw_high / max(bw_low, 1e-9)) / (hi_cpus / low_cpus), 3
+            )
             calib_pairs.append(pcal)
             if calib is None or not (
                 0.5 <= calib.get("host_efficiency", 0) <= 1.05
@@ -984,6 +1044,7 @@ def _write_baseline_md(r: dict) -> None:
             f"| **steady-state efficiency, median of clean interleaved pairs** | **{s.get('efficiency_steady_pair_median')}** (pairs: {s.get('pair_efficiencies')}) |",
             f"| host pure-CPU delivery at same levels (calibration) | {s.get('host_calibration')} |",
             f"| per-pair host calibration (frequency drift audit) | {[c.get('host_efficiency') for c in s.get('host_calibration_per_pair') or []]} |",
+            f"| per-pair DRAM triad bandwidth, N -> 4N GB/s (delivery vs 4x) | {[(c.get('low_bw_gbps'), c.get('high_bw_gbps'), c.get('bw_scaling')) for c in s.get('host_calibration_per_pair') or []]} |",
             f"| **steady efficiency / host ceiling** | **{s.get('efficiency_steady_vs_host')}** |",
             f"| **per-pair vs-host efficiency, median** | **{s.get('efficiency_steady_pair_median_vs_host')}** (pairs: {s.get('pair_efficiencies_vs_host')}) |",
             f"| **CPU-normalized efficiency (urls/busy-CPU-sec ratio)** | **{s.get('efficiency_cpu')}** |",
@@ -999,7 +1060,11 @@ def _write_baseline_md(r: dict) -> None:
             "This file records the LATEST complete run verbatim — never the",
             "best run. Run-to-run spread between steal-clean, pinned runs of",
             "identical code is ~±13% on this shared-host microVM (neighbor",
-            "memory-bandwidth pressure is invisible to /proc/stat steal);",
+            "memory-bandwidth pressure is invisible to /proc/stat steal; the",
+            "per-pair DRAM triad row above measures it in-band — a healthy",
+            "window delivers only ~0.75-0.8 of 4x aggregate bandwidth from",
+            "4->16 cores on this box, and congested windows collapse further,",
+            "which no pure-CPU or steal reading can show);",
             "the cross-run history row above is the stable summary",
             "statistic, and the CPU-normalized ratio is the steal-immune",
             "number (stolen cycles are not busy cycles). The history spans",
