@@ -986,6 +986,10 @@ def _run_history(s: dict) -> str:
         "cpu": s.get("efficiency_cpu"),
         "median_of_clean": s.get("efficiency_steady_median"),
         "vs_host_pair_median": s.get("efficiency_steady_pair_median_vs_host"),
+        "bw_scaling": [
+            c.get("bw_scaling")
+            for c in s.get("host_calibration_per_pair") or []
+        ],
     }
     try:
         with open(path, "a") as f:
