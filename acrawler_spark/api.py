@@ -90,7 +90,23 @@ class Crawl:
             setattr(self._cfg, k, v)
         return self
 
-    def run(self, spark: SparkSession, corpus: DataFrame, workdir: str) -> CheckpointStore:
+    def http_transport(self, timeout_s: float = 10.0, delay_s: float = 0.0,
+                       max_bytes: int = 4 * 1024 * 1024,
+                       user_agent: str = "acrawler-spark/0.1") -> "Crawl":
+        """Fetch over live HTTP (sources/netfetch.py) instead of a corpus
+        table: per-partition urllib client via mapInPandas, host-affine
+        partitions, ``delay_s`` honored between same-host requests. The
+        staging pipeline (ok/status semantics, retry/recrawl, items) is
+        transport-agnostic; ``run(..., corpus=None)`` is then valid."""
+        self._cfg.http_fetch = {
+            "timeout_s": timeout_s, "delay_s": delay_s,
+            "max_bytes": max_bytes, "user_agent": user_agent,
+        }
+        return self
+
+    def run(self, spark: SparkSession, corpus: DataFrame | None, workdir: str) -> CheckpointStore:
+        if corpus is None and self._cfg.http_fetch is None:
+            raise ValueError("corpus=None requires .http_transport(...)")
         store = CheckpointStore(workdir, spark)
         CrawlEngine(spark, self._cfg, store).run(corpus)
         return store

@@ -99,6 +99,13 @@ class CrawlConfig:
     # unconditionally; True never forces it past the proven bound.
     broadcast_selected: bool = True
     broadcast_max_rows: int = 4_000_000
+    # Live-HTTP transport (sources/netfetch.py): when set (a kwargs dict
+    # for build_fetch_http — timeout_s/delay_s/max_bytes/user_agent), the
+    # round fetches over the network via a per-partition urllib client
+    # instead of joining a corpus table. Every selected row yields exactly
+    # one page row (transport errors become inline 404/null-body rows), so
+    # the all-hits fast path always applies and the miss job never runs.
+    http_fetch: dict | None = None
     in_pattern: str | None = None  # parse gate by response url (parser.py:62-73)
     follow_limit: int | None = None  # max followed links per page (http.py:387-435)
     # Callback-chain inheritance for followed links (ADVICE r3 #2). In the
@@ -573,9 +580,16 @@ class CrawlEngine:
         scan of this delta — the UDF runs exactly once per page and no
         multi-hundred-MB cache blocks churn the executors. Callable from
         the round's own thread OR the pipeline pool (prefetch)."""
-        fetched = build_fetch_join(
-            selected_ranked, corpus, frontier_cols, self.cfg, bounded
-        )
+        if self.cfg.http_fetch is not None:
+            from acrawler_spark.sources.netfetch import build_fetch_http
+
+            fetched = build_fetch_http(
+                selected_ranked, frontier_cols, **self.cfg.http_fetch
+            )
+        else:
+            fetched = build_fetch_join(
+                selected_ranked, corpus, frontier_cols, self.cfg, bounded
+            )
         staged, obs = self._stage_pages(rnd, frontier_cols, fetched)
         with self._job(f"r{rnd} pages: fetch-join + parse + write"):
             self.store.write_delta("pages", rnd, staged)
