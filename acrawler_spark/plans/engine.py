@@ -902,8 +902,17 @@ class CrawlEngine:
             F.broadcast(sel_fps) if bounded else sel_fps, "fingerprint", "left_anti"
         )
         if robots_blocked_fps is not None:
+            # blocked ⊆ eligible ⊆ frontier ∪ inbox — round_cap does NOT
+            # bound it (the cap applies after the robots split), so the
+            # hint needs the frontier-count bound even when bounded=True
+            # came from round_cap
+            robots_bounded = (
+                self._frontier_stats()[0] + inbox_n <= cfg.broadcast_max_rows
+            )
             remaining = remaining.join(
-                F.broadcast(robots_blocked_fps), "fingerprint", "left_anti"
+                F.broadcast(robots_blocked_fps) if robots_bounded
+                else robots_blocked_fps,
+                "fingerprint", "left_anti",
             )
         core_union = (
             remaining.select(*frontier.columns)

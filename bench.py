@@ -675,11 +675,17 @@ def main() -> None:
     weather = [("headline", _wait_for_quiet(90.0))]
     headline = _crawl_subprocess(CPUS)
     # retry only while the budget still affords the retry PLUS two rep
-    # pairs (~= 2 headline-costs) — the graded scaling pair outranks a
-    # prettier headline
+    # pairs — the graded scaling pair outranks a prettier headline. A pair
+    # costs ~2.3x the headline on this box (the low side crawls the same
+    # corpus at a quarter of the cores: measured 529 s pair vs 234 s
+    # headline at mult=384); the previous 2-headline estimate admitted a
+    # retry that then cost the run its second pair (the one-pair 0.558
+    # run) — the exact trade this guard exists to refuse.
     if (
         _steal_frac(headline) >= STEAL_FRAC_MAX
-        and time.monotonic() - t_start + 3 * headline["subprocess_secs"]
+        and not skip_scaling
+        and time.monotonic() - t_start
+        + headline["subprocess_secs"] * (1 + 2 * 2.5)
         < budget_s - reserve_s
     ):
         retry = _crawl_subprocess(CPUS)
@@ -745,24 +751,54 @@ def main() -> None:
             # superlinearly) means the window was NOT quiet (observed
             # once: 8x-slow burn at zero steal from leftover writeback);
             # such pairs are excluded from the vs-host median.
-            pcal = {
-                "low_ops_per_sec": round(_pure_cpu_ops_per_sec(low_cpus), 0),
-                "high_ops_per_sec": round(_pure_cpu_ops_per_sec(hi_cpus), 0),
-            }
-            pcal["host_efficiency"] = round(
-                (pcal["high_ops_per_sec"] / pcal["low_ops_per_sec"])
-                / (hi_cpus / low_cpus),
-                3,
-            )
-            # DRAM-bandwidth reading for the same window (see _mem_bw_gbps:
-            # the only core-scaling ceiling the CPU calibration cannot see)
-            bw_low = _mem_bw_gbps(low_cpus)
-            bw_high = _mem_bw_gbps(hi_cpus)
-            pcal["low_bw_gbps"] = round(bw_low, 2)
-            pcal["high_bw_gbps"] = round(bw_high, 2)
-            pcal["bw_scaling"] = round(
-                (bw_high / max(bw_low, 1e-9)) / (hi_cpus / low_cpus), 3
-            )
+            # Fair-window gate on the SAME two in-band readings recorded as
+            # audit evidence: a window whose measured DRAM delivery has
+            # collapsed (bw_scaling far below even this box's healthy
+            # ~0.75-0.82) grades the pair on neighbor memory traffic, not
+            # the engine — observed 0.561 pairs with clean steal AND a
+            # clean pure-CPU calibration (BENCH/HISTORY.md, run N). When a
+            # reading fails the pre-declared floors, re-wait once or twice
+            # (budget permitting) and re-measure; the pair then runs in
+            # whatever the LAST window offers, so congestion can delay a
+            # measurement but never silently pick which pairs exist.
+            # Every attempt's readings are recorded (bw_rewaits).
+            attempts = 0
+            while True:
+                pcal = {
+                    "low_ops_per_sec": round(_pure_cpu_ops_per_sec(low_cpus), 0),
+                    "high_ops_per_sec": round(_pure_cpu_ops_per_sec(hi_cpus), 0),
+                }
+                pcal["host_efficiency"] = round(
+                    (pcal["high_ops_per_sec"] / pcal["low_ops_per_sec"])
+                    / (hi_cpus / low_cpus),
+                    3,
+                )
+                # DRAM-bandwidth reading for the same window (_mem_bw_gbps:
+                # the one core-scaling ceiling the CPU calibration cannot see)
+                bw_low = _mem_bw_gbps(low_cpus)
+                bw_high = _mem_bw_gbps(hi_cpus)
+                pcal["low_bw_gbps"] = round(bw_low, 2)
+                pcal["high_bw_gbps"] = round(bw_high, 2)
+                pcal["bw_scaling"] = round(
+                    (bw_high / max(bw_low, 1e-9)) / (hi_cpus / low_cpus), 3
+                )
+                pcal["bw_rewaits"] = attempts
+                window_fair = (
+                    pcal["bw_scaling"] >= 0.6
+                    and 0.5 <= pcal["host_efficiency"] <= 1.05
+                )
+                rewait_affordable = (
+                    (time.monotonic() - t_start)
+                    + (pair_secs or 2 * headline["subprocess_secs"])
+                    + 120.0
+                    < budget_s - reserve_s
+                )
+                if window_fair or attempts >= 2 or not rewait_affordable:
+                    break
+                attempts += 1
+                weather.append(
+                    (f"pair_{_rep + 1}_rewait{attempts}", _wait_for_quiet(90.0))
+                )
             calib_pairs.append(pcal)
             if calib is None or not (
                 0.5 <= calib.get("host_efficiency", 0) <= 1.05
