@@ -619,6 +619,109 @@ FROM bits JOIN (SELECT bucket AS b2, count(*) AS bucket_size FROM bits GROUP BY 
 """
 
 
+# Embedding-cosine near-dup pairs — the banded (OR-construction) hyperplane
+# LSH shape: B bands of r planes each; two vectors become a CANDIDATE pair
+# iff their sign patterns agree on every plane of at least one band, and a
+# near-dup pair iff the exact cosine over the full vectors clears the
+# threshold. Same deterministic plane family as ann_lsh_buckets
+# (weight(i, j) = ((i*31 + j*17) % 7) - 3, planes j = band*r + bit).
+# Scale shape: the candidate join is an equi-join on (band, bucket) — pair
+# count is bounded by per-bucket sizes, never all-pairs — and multi-band
+# hits are deduped (distinct) BEFORE the exact-cosine re-rank, so each
+# surviving pair pays the full-vector dot exactly once. B=4 bands x r=3
+# bits are demo-sized for the synthetic table (max pairwise cosine ~0.51);
+# production tunes r up (16-24 bits -> smaller buckets) and B to the
+# recall target, the topology is unchanged.
+
+EMB_PAIR_BANDS = 4
+EMB_PAIR_ROWS = 3  # planes (bits) per band
+EMB_PAIR_THRESHOLD = 0.40
+
+
+def q_dedup_embedding_pairs(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    nplanes = EMB_PAIR_BANDS * EMB_PAIR_ROWS
+    flat = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("i0", "v")
+    ).select(
+        "vec_id", (F.col("i0") + 1).alias("i"), F.col("v").cast("double").alias("v")
+    )
+    planes = spark.range(nplanes).select(F.col("id").cast("int").alias("j"))
+    dots = (
+        flat.crossJoin(F.broadcast(planes))
+        .withColumn("w", ((F.col("i") * 31 + F.col("j") * 17) % 7 - 3).cast("double"))
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("v") * F.col("w")).alias("dot"))
+    )
+    buckets = (
+        dots.withColumn("band", F.floor(F.col("j") / EMB_PAIR_ROWS).cast("int"))
+        .withColumn("bit", (F.col("j") % EMB_PAIR_ROWS).cast("int"))
+        .groupBy("vec_id", "band")
+        .agg(
+            F.sum(
+                F.when(F.col("dot") > 0, F.expr("shiftleft(1, bit)")).otherwise(F.lit(0))
+            ).cast("int").alias("bucket")
+        )
+    )
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    va = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", _cosine(F.col("ea"), F.col("eb")).alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(EMB_PAIR_THRESHOLD))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+SQL_DEDUP_EMBEDDING_PAIRS = f"""
+WITH flat AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+),
+dots AS (
+  SELECT vec_id, j, sum(v * (((i*31 + j*17) % 7) - 3)) AS dot
+  FROM flat, (SELECT unnest(range(0, {EMB_PAIR_BANDS * EMB_PAIR_ROWS})) AS j)
+  GROUP BY 1, 2
+),
+buckets AS (
+  SELECT vec_id, (j // {EMB_PAIR_ROWS}) AS band,
+         sum(CASE WHEN dot > 0 THEN 1 << (j % {EMB_PAIR_ROWS}) ELSE 0 END)::INT AS bucket
+  FROM dots GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM flat GROUP BY 1),
+dot2 AS (
+  SELECT c.id_a, c.id_b, sum(fa.v * fb.v) AS dot
+  FROM cand c
+  JOIN flat fa ON fa.vec_id = c.id_a
+  JOIN flat fb ON fb.vec_id = c.id_b AND fb.i = fa.i
+  GROUP BY 1, 2
+)
+SELECT d.id_a, d.id_b, round(d.dot / (na.nrm * nb.nrm), 4) AS cosine
+FROM dot2 d
+JOIN nrm na ON d.id_a = na.vec_id
+JOIN nrm nb ON d.id_b = nb.vec_id
+WHERE round(d.dot / (na.nrm * nb.nrm), 4) >= {EMB_PAIR_THRESHOLD}
+"""
+
+
 # IVF (inverted-file) ANN — the second scale path beside hyperplane LSH:
 # a small set of coarse centroids partitions the vector space into cells;
 # every candidate is assigned to its nearest centroid (one broadcast join,
@@ -1493,6 +1596,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
+    "dedup_embedding_pairs": (q_dedup_embedding_pairs, SQL_DEDUP_EMBEDDING_PAIRS),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "corpus_quality_gate": (q_corpus_quality_gate, SQL_CORPUS_QUALITY_GATE),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),

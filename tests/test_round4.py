@@ -430,3 +430,35 @@ def test_exact_substring_dedup_windows(spark, tmp_path):
     assert got[1] == (4, 2)
     assert got[2] == (3, 0)
     assert 3 not in got
+
+
+def test_embedding_near_dup_pairs_banded_lsh(spark, tmp_path):
+    """Two near-identical vectors agree on every hyperplane, land in the
+    same bucket of every band, and survive the exact-cosine threshold as
+    ONE deduped pair; an anti-correlated vector never pairs above the
+    threshold. Every emitted pair is ordered (id_a < id_b) and clears
+    EMB_PAIR_THRESHOLD."""
+    import numpy as np
+
+    from acrawler_spark.textops import (
+        EMB_PAIR_THRESHOLD, q_dedup_embedding_pairs,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(16)
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in base * 1.5 + rng.randn(16) * 0.01]),  # near-dup of 0
+        (2, [float(x) for x in -base]),                              # cosine ~ -1
+        (3, [float(x) for x in rng.randn(16)]),                      # unrelated
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").coalesce(
+        1
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    got = {(r.id_a, r.id_b): r.cosine for r in
+           q_dedup_embedding_pairs(spark, sf).collect()}
+    assert (0, 1) in got and got[(0, 1)] > 0.99
+    assert all(a < b for (a, b) in got)
+    assert all(c >= EMB_PAIR_THRESHOLD for c in got.values())
+    assert not any(2 in p for p in got)
