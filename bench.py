@@ -577,6 +577,22 @@ def _crawl_subprocess(cpus: int, probe: bool = True) -> dict:
 
 
 STEAL_FRAC_MAX = 0.08  # rep is "clean" if hypervisor steal < 8% of busy CPU
+
+# Pre-declared ABSOLUTE host-delivery floors (~70% of this box's measured
+# healthy range across committed runs: pure-CPU 16.9-17.6k ops/s at 4
+# procs / 64-68k at 16, triad 61-71 GB/s at 4 / 192-204 at 16; see
+# BENCH/runs.jsonl + HISTORY.md). The RATIO floors alone admitted the
+# 0.591 storm row: a neighbor storm that halves delivery at BOTH levels
+# preserves host_efficiency and bw_scaling while starving the
+# bandwidth-bound 16-core crawl — only absolute readings catch it.
+# Floors gate only WHEN a measurement runs (re-wait, bounded), never
+# whether it is recorded — congestion can delay a window, not pick it.
+HOST_FLOORS = {
+    "low_ops_per_sec": float(os.environ.get("SPARK_GRAFT_FLOOR_LOW_OPS", "12000")),
+    "high_ops_per_sec": float(os.environ.get("SPARK_GRAFT_FLOOR_HIGH_OPS", "45000")),
+    "low_bw_gbps": float(os.environ.get("SPARK_GRAFT_FLOOR_LOW_BW", "42")),
+    "high_bw_gbps": float(os.environ.get("SPARK_GRAFT_FLOOR_HIGH_BW", "135")),
+}
 # ... AND its urls/busy-CPU-sec is >=75% of the level's best. Measured on
 # this host (six 16-core reps, steal < 1000 jiffies each): quiet-mode reps
 # cluster within ~10% of the best cpu-efficiency while interference-slowed
@@ -673,6 +689,30 @@ def main() -> None:
     # unguarded rep — exactly what hit r3's 661 s outlier) is retried once
     # if the budget affords it.
     weather = [("headline", _wait_for_quiet(90.0))]
+    # Headline-start storm gate (0.591-row lesson): the headline is the one
+    # rep with no calibration beside it, and a sub-threshold-steal
+    # bandwidth storm (host at ~55% of its compute norm for >4 min) walked
+    # straight through the steal-only quiet-wait above. Probe the LOW
+    # level's absolute delivery (~8 s); while it is under the pre-declared
+    # floors, re-wait — a recovered window buys strictly better evidence
+    # than a degraded full run, and the spend is capped so a storm that
+    # outlasts the cap still yields a complete (audited) run.
+    start_gate = {"attempts": 0}
+    while True:
+        start_gate["low_ops_per_sec"] = round(_pure_cpu_ops_per_sec(low_cpus), 0)
+        start_gate["low_bw_gbps"] = round(_mem_bw_gbps(low_cpus), 2)
+        start_fair = (
+            start_gate["low_ops_per_sec"] >= HOST_FLOORS["low_ops_per_sec"]
+            and start_gate["low_bw_gbps"] >= HOST_FLOORS["low_bw_gbps"]
+        )
+        if start_fair or start_gate["attempts"] >= 3 or (
+            time.monotonic() - t_start > 420.0
+        ):
+            break
+        start_gate["attempts"] += 1
+        weather.append(
+            (f"start_rewait{start_gate['attempts']}", _wait_for_quiet(90.0))
+        )
     headline = _crawl_subprocess(CPUS)
     # retry only while the budget still affords the retry PLUS two rep
     # pairs — the graded scaling pair outranks a prettier headline. A pair
@@ -786,6 +826,12 @@ def main() -> None:
                 window_fair = (
                     pcal["bw_scaling"] >= 0.6
                     and 0.5 <= pcal["host_efficiency"] <= 1.05
+                    # absolute floors (0.591-row lesson): ratio floors pass
+                    # a storm that halves BOTH levels' delivery
+                    and pcal["low_ops_per_sec"] >= HOST_FLOORS["low_ops_per_sec"]
+                    and pcal["high_ops_per_sec"] >= HOST_FLOORS["high_ops_per_sec"]
+                    and pcal["low_bw_gbps"] >= HOST_FLOORS["low_bw_gbps"]
+                    and pcal["high_bw_gbps"] >= HOST_FLOORS["high_bw_gbps"]
                 )
                 rewait_affordable = (
                     (time.monotonic() - t_start)
@@ -944,6 +990,10 @@ def main() -> None:
             # (the quiet-weather gate's last reading; < 0.004 means the
             # gate saw a quiet host, higher means it timed out waiting)
             "weather_at_start": dict(weather),
+            # headline-start storm gate: low-level absolute delivery probed
+            # before the (calibration-less) headline ran, plus re-waits spent
+            "start_gate": start_gate,
+            "host_floors": HOST_FLOORS,
             "all_high_steady": [r["steady_urls_per_sec"] for r in runs[hi_cpus]],
             "all_low_steady": [r["steady_urls_per_sec"] for r in runs[low_cpus]],
             "steal_frac": {
