@@ -1585,6 +1585,112 @@ FROM pd p LEFT JOIN md m USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# Host-graph PageRank (bounded power iteration) — frontier prioritization by
+# host authority, the iterative-web-graph op a crawl scheduler feeds on.
+# The host graph is derived deterministically from documents (doc_id -> host
+# doc_id % H; three pseudo-links per doc), matching how the crawl fixtures
+# synthesize URLs. The rank loop is the standard Spark PageRank topology:
+# edges are the big side, shuffled once on src (deg attach) and once per
+# iteration on dst (contrib agg); the rank vector is broadcast (|hosts| <<
+# |edges| — at 10^8 hosts it graduates to a shuffle join on src, and the
+# loop checkpoints every few iterations to truncate lineage). Dangling mass
+# is redistributed uniformly so ranks sum to 1 on both engines; ranks are
+# rounded to 6 decimals (summation-order safety, same policy as cosines).
+# ---------------------------------------------------------------------------
+
+HR_HOSTS = 50
+HR_DAMP = 0.85
+HR_ITERS = 3
+
+
+def q_host_rank(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    js = spark.range(1, 4).select(F.col("id").alias("j"))
+    edges = (
+        docs.crossJoin(F.broadcast(js))
+        .select(
+            (F.col("doc_id") % HR_HOSTS).alias("src"),
+            # md5-derived dst (shared cross-engine hash contract): uniform
+            # per-link but Poisson-varying per-host indegree, so ranks are
+            # non-trivial — a pure modular formula keeps them exactly uniform
+            (_h32(F.concat_ws(":", F.col("doc_id"), F.col("j"))) % HR_HOSTS).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
+    # Materialize the (deg-attached) edge list once: every iteration reads
+    # it, and without truncation the unrolled lineage re-derives it ~3x per
+    # iteration (measured: 56 broadcast joins at 3 iters -> 8 after).
+    edges = edges.join(outdeg, "src").localCheckpoint(eager=True)
+    hosts = spark.range(HR_HOSTS).select(F.col("id").alias("host"))
+    rank = hosts.select("host", F.lit(1.0 / HR_HOSTS).alias("rank"))
+    for _ in range(HR_ITERS):
+        contrib = (
+            edges.join(F.broadcast(rank), rank["host"] == edges["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+            .withColumnRenamed("dst", "host")
+        )
+        dangling = (
+            rank.join(outdeg, rank["host"] == outdeg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        rank = (
+            hosts.join(F.broadcast(contrib), "host", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "host",
+                (
+                    F.lit((1.0 - HR_DAMP) / HR_HOSTS)
+                    + F.lit(HR_DAMP)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dm") / HR_HOSTS
+                    )
+                ).alias("rank"),
+            )
+        ).localCheckpoint(eager=True)  # linear plans across iterations
+    return rank.select("host", F.round("rank", 6).alias("rank"))
+
+
+def _hr_iter_sql(prev: str, i: int) -> str:
+    return f"""
+c{i} AS (
+  SELECT e.dst AS host, sum(r.rank / e.deg) AS contrib
+  FROM edges_deg e JOIN {prev} r ON r.host = e.src GROUP BY 1
+),
+dang{i} AS (
+  SELECT coalesce(sum(r.rank), 0) AS dm
+  FROM {prev} r LEFT JOIN outdeg d ON d.src = r.host WHERE d.src IS NULL
+),
+r{i} AS (
+  SELECT h.host,
+         {(1.0 - HR_DAMP) / HR_HOSTS} + {HR_DAMP} * (coalesce(c.contrib, 0)
+           + (SELECT dm FROM dang{i}) / {HR_HOSTS}) AS rank
+  FROM hosts h LEFT JOIN c{i} c ON c.host = h.host
+)"""
+
+
+SQL_HOST_RANK = f"""
+WITH edges AS (
+  SELECT DISTINCT (doc_id % {HR_HOSTS}) AS src,
+         ({_H32_SQL.format(x="doc_id::VARCHAR || ':' || j::VARCHAR")}
+          % {HR_HOSTS}) AS dst
+  FROM documents, (SELECT unnest([1, 2, 3]) AS j)
+  WHERE ({_H32_SQL.format(x="doc_id::VARCHAR || ':' || j::VARCHAR")}
+         % {HR_HOSTS}) <> doc_id % {HR_HOSTS}
+),
+outdeg AS (SELECT src, count(*)::DOUBLE AS deg FROM edges GROUP BY 1),
+edges_deg AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN outdeg d USING (src)),
+hosts AS (SELECT unnest(range(0, {HR_HOSTS})) AS host),
+r0 AS (SELECT host, 1.0 / {HR_HOSTS} AS rank FROM hosts),
+{",".join(_hr_iter_sql(f"r{i}", i + 1) for i in range(HR_ITERS))}
+SELECT host, round(rank, 6) AS rank FROM r{HR_ITERS}
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -1611,4 +1717,5 @@ REGISTRY: dict[str, tuple] = {
     "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "seq_pack": (q_seq_pack, SQL_SEQ_PACK),
+    "host_rank": (q_host_rank, SQL_HOST_RANK),
 }

@@ -462,3 +462,20 @@ def test_embedding_near_dup_pairs_banded_lsh(spark, tmp_path):
     assert all(a < b for (a, b) in got)
     assert all(c >= EMB_PAIR_THRESHOLD for c in got.values())
     assert not any(2 in p for p in got)
+
+
+# -- host-graph PageRank (bounded power iteration over documents) ----------
+
+def test_host_rank_invariants(spark, sf001):
+    from acrawler_spark.textops import HR_DAMP, HR_HOSTS, q_host_rank
+
+    rows = q_host_rank(spark, sf001).collect()
+    assert len(rows) == HR_HOSTS
+    ranks = [r.rank for r in rows]
+    # total mass conserved (dangling mass redistributed, not dropped)
+    assert abs(sum(ranks) - 1.0) < 1e-4
+    # every host keeps at least the teleport floor
+    assert min(ranks) >= (1.0 - HR_DAMP) / HR_HOSTS - 1e-9
+    # the hashed edge construction must make ranks non-trivial — a pure
+    # modular formula once produced an exactly-uniform (untestable) graph
+    assert max(ranks) > min(ranks) * 1.2
