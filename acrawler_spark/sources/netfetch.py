@@ -97,8 +97,13 @@ def build_fetch_http(
                     charset = resp.headers.get_content_charset() or "utf-8"
                     return url, body, charset, int(resp.status)
             except urllib.error.HTTPError as e:
-                # a real response with an error code — body and all
-                body = e.read(max_bytes)
+                # a real response with an error code — body and all; the
+                # body read can itself die mid-stream (tarpit, reset), which
+                # must degrade to an empty-body response row, not a task error
+                try:
+                    body = e.read(max_bytes)
+                except OSError:
+                    body = None
                 charset = e.headers.get_content_charset() or "utf-8"
                 return url, (body or None), charset, int(e.code)
             except (urllib.error.URLError, socket.timeout, OSError, ValueError):
