@@ -107,6 +107,55 @@ LINK_PATTERN = re.compile(r"<(.*?)(src|href)=(\"|')(.*?)(\"|')(.*?)>", re.S)
 _SKIP_PREFIXES = ("javascript:", "mailto:")
 
 
+def _base_root(base_url: str) -> str | None:
+    """``scheme://netloc`` of an http(s) base, exactly as ``urljoin``
+    computes it for a root-relative href — or None when the base falls
+    outside the fast shapes (non-http scheme, or tab/CR/LF characters
+    that ``urlsplit`` would strip). Computed once per page so per-link
+    joins are O(len(href))."""
+    if base_url.startswith("http://"):
+        i = 7
+    elif base_url.startswith("https://"):
+        i = 8
+    else:
+        return None
+    if "\t" in base_url or "\n" in base_url or "\r" in base_url:
+        return None
+    for j in range(i, len(base_url)):
+        c = base_url[j]
+        if c == "/" or c == "?" or c == "#":
+            return base_url[:j]
+    return base_url
+
+
+def fast_urljoin(base_url: str, href: str, root: str | None = None) -> str:
+    """Byte-identical fast path of ``urllib.parse.urljoin`` for the hot
+    shape: a root-relative href (``/path...``) against an http(s) base.
+    ``urljoin`` spends ~6.5 us/call re-splitting the base; page hrefs are
+    overwhelmingly root-relative, so the engine joins them as
+    ``scheme://netloc + href`` (~1 us). Every other shape — absolute,
+    protocol-relative (``//``), document-relative, hrefs carrying tab/CR/
+    LF that ``urlsplit`` strips — falls back to ``urljoin`` verbatim.
+    Equivalence is pinned by differential fuzzing
+    (tests/test_kernel_fastpath.py) and, for the absolutize path, by the
+    spec-vs-fast byte-identity property that already fuzzes this join.
+
+    ``root`` is the precomputed :func:`_base_root` for callers joining
+    many hrefs against one page URL."""
+    if (
+        href.startswith("/")
+        and not href.startswith("//")
+        and "/." not in href  # '.'/'..' path segments: urljoin normalizes them
+        and "\t" not in href
+        and "\n" not in href
+        and "\r" not in href
+    ):
+        r = _base_root(base_url) if root is None else root
+        if r is not None:
+            return r + href
+    return urljoin(base_url, href)
+
+
 def _absolutize_match(match: re.Match, base_url: str) -> str:
     href = match.group(4)
     new_url = href
@@ -167,6 +216,8 @@ def make_text_links_absolute(text: str, base_url: str) -> str:
     n = len(text)
     out = []
     pos = 0
+    root = _base_root(base_url)
+    i_src = i_href = -2  # -2 = not yet searched; -1 = exhausted
     while True:
         lt = find("<", pos)
         if lt == -1:
@@ -174,8 +225,14 @@ def make_text_links_absolute(text: str, base_url: str) -> str:
         k = lt + 1
         m_end = -1
         while True:
-            i_src = find("src=", k)
-            i_href = find("href=", k)
+            # memoized finds: str.find is monotone in its start index, so a
+            # cached hit at >= k is still the next occurrence, and a cached
+            # -1 (exhausted) stays -1 — each literal is scanned for at most
+            # once per position instead of once per site retry
+            if i_src != -1 and i_src < k:
+                i_src = find("src=", k)
+            if i_href != -1 and i_href < k:
+                i_href = find("href=", k)
             if i_src == -1 and i_href == -1:
                 break
             if i_src != -1 and (i_href == -1 or i_src < i_href):
@@ -202,7 +259,7 @@ def make_text_links_absolute(text: str, base_url: str) -> str:
             href = text[eq_end + 1 : c2]
             if href and not href.startswith("#") and not href.startswith(_SKIP_PREFIXES):
                 out.append(text[pos : eq_end + 1])
-                out.append(urljoin(base_url, href))
+                out.append(fast_urljoin(base_url, href, root))
                 out.append(text[c2 : gt + 1])
             else:
                 out.append(text[pos : gt + 1])
@@ -242,7 +299,8 @@ def follow_links(html: str, base_url: str, follow_patterns: list[str] | None = N
     """parser.py:84-98: urljoin every href against the page URL, keep those
     matching any follow pattern (regex ``search``); no patterns => keep all
     (Response.follow semantics, http.py:387-435)."""
-    links = [urljoin(base_url, href) for href in extract_hrefs(html)]
+    root = _base_root(base_url)
+    links = [fast_urljoin(base_url, href, root) for href in extract_hrefs(html)]
     if not follow_patterns:
         return links
     compiled = [re.compile(p) for p in follow_patterns]

@@ -45,6 +45,59 @@ def test_fuzz_raw_text(text):
     )
 
 
+_BASES = st.sampled_from(
+    [
+        "http://site0.test/a/b?x=1",
+        "https://h.example",
+        "http://h.example:8080/p/q#frag",
+        "http://user:pw@h.example/p",
+        "HTTP://UPPER.test/p",          # uppercase scheme: urljoin lowercases it
+        "http://h.example?x=1",         # query with no path
+        "http://h.example#f",
+        "http:///nonetloc",
+        "ftp://other.scheme/p",
+        "relative/base",
+        "http://bad\thost/p",           # tab stripped by urlsplit
+        "",
+    ]
+)
+
+_HREF_CHUNKS = st.sampled_from(
+    [
+        "/", "//", "p", "/p/1", "?b=2&a=1", "#frag", "http://x.test/q",
+        "https://y.test", "HTTP://Z.test/p", "..", "../q", "./q",
+        "javascript:void(0)", "mailto:a@b", " ", "\t", "\n", "\r",
+        "%20", ":", "@", "//proto.rel/p", "\x0b", "a b",
+    ]
+)
+
+
+@settings(max_examples=3000, deadline=None)
+@given(_BASES, st.lists(_HREF_CHUNKS, min_size=0, max_size=6))
+def test_fuzz_fast_urljoin_equals_urljoin(base, href_chunks):
+    from urllib.parse import urljoin
+
+    from acrawler_spark.kernel import _base_root, fast_urljoin
+
+    href = "".join(href_chunks)
+    assert fast_urljoin(base, href) == urljoin(base, href)
+    # and with the per-page precomputed root (the hot-loop form)
+    assert fast_urljoin(base, href, _base_root(base)) == urljoin(base, href)
+
+
+@settings(max_examples=800, deadline=None)
+@given(
+    st.text(alphabet="htps:/.?#@ \t\nabZ019-", max_size=40),
+    st.text(alphabet="htps:/.?#@ \t\nabZ019-%", max_size=30),
+)
+def test_fuzz_fast_urljoin_raw_strings(base, href):
+    from urllib.parse import urljoin
+
+    from acrawler_spark.kernel import fast_urljoin
+
+    assert fast_urljoin(base, href) == urljoin(base, href)
+
+
 def test_fixture_pages_identical():
     from acrawler_spark.sources.corpus import build_fixture_pages
 
