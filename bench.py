@@ -353,12 +353,14 @@ def _pure_cpu_ops_per_sec(n_procs: int, secs: float = 6.0) -> float:
     over a representative ~100 KB page) with ZERO Spark — pure Python
     worker processes, no shared state. This measures what the MACHINE
     delivers for this workload class at that parallelism; the engine's
-    wall-clock scaling is judged against it. Measured on this sandbox:
-    4 -> 16 procs delivers ~3.4x (ceiling ~0.84 — memory bandwidth +
-    frequency), 8 -> 32 ~0.81, and pure integer arithmetic ~0.95 at
-    4 -> 16 vs ~0.73 at 8 -> 32 (SMT/quota knee) — so the graded pair
-    runs at 4 -> 16 and the in-band calibration is recorded beside the
-    crawl numbers as evidence, not assumed."""
+    wall-clock scaling is judged against it. Measured on this sandbox
+    with the fast-urljoin kernel (2026-08-20 quiet window): ~63k pages/s
+    at 4 procs -> ~204k at 16, delivery ~0.81, matching the DRAM triad's
+    ~0.80 — and pure integer arithmetic ~0.95 at 4 -> 16 vs ~0.73 at
+    8 -> 32 (SMT/quota knee) — so the graded pair runs at 4 -> 16 and
+    the in-band calibration is recorded beside the crawl numbers as
+    evidence, not assumed. NOTE: these ops/s norms (and HOST_FLOORS) are
+    kernel-version-specific; recalibrate after any parse-kernel change."""
     import multiprocessing as mp
 
     def burn(counter, stop_t):
@@ -587,9 +589,18 @@ STEAL_FRAC_MAX = 0.08  # rep is "clean" if hypervisor steal < 8% of busy CPU
 # bandwidth-bound 16-core crawl — only absolute readings catch it.
 # Floors gate only WHEN a measurement runs (re-wait, bounded), never
 # whether it is recorded — congestion can delay a window, not pick it.
+# Floors are ~70% of the box's measured healthy delivery FOR THE CURRENT
+# KERNEL. The ops floors are denominated in parse-kernel pages/s, so they
+# must be recalibrated whenever the kernel's per-page cost changes: the
+# fast-urljoin + memoized-find kernel roughly halved per-page cost, and the
+# first run after it kept the old floors (12k/45k) — a storm window at
+# ~33-55% of the new norm still cleared them trivially and graded a 0.284
+# pair (BENCH/HISTORY.md). New healthy quiet-window readings with that
+# kernel: ~63k ops/s at 4 procs, ~204k at 16 (delivery 0.81, matching the
+# triad's 0.80).
 HOST_FLOORS = {
-    "low_ops_per_sec": float(os.environ.get("SPARK_GRAFT_FLOOR_LOW_OPS", "12000")),
-    "high_ops_per_sec": float(os.environ.get("SPARK_GRAFT_FLOOR_HIGH_OPS", "45000")),
+    "low_ops_per_sec": float(os.environ.get("SPARK_GRAFT_FLOOR_LOW_OPS", "44000")),
+    "high_ops_per_sec": float(os.environ.get("SPARK_GRAFT_FLOOR_HIGH_OPS", "143000")),
     "low_bw_gbps": float(os.environ.get("SPARK_GRAFT_FLOOR_LOW_BW", "42")),
     "high_bw_gbps": float(os.environ.get("SPARK_GRAFT_FLOOR_HIGH_BW", "135")),
 }
@@ -833,11 +844,19 @@ def main() -> None:
                     and pcal["low_bw_gbps"] >= HOST_FLOORS["low_bw_gbps"]
                     and pcal["high_bw_gbps"] >= HOST_FLOORS["high_bw_gbps"]
                 )
+                # The pair runs whether or not we re-wait (the rep-level
+                # ceiling already admitted it), so the MARGINAL cost of a
+                # re-wait is only the wait + recalibration (~120 s) — the
+                # old formula charged the whole pair cost against the
+                # budget and refused the re-wait exactly when it was
+                # needed (the 0.284 storm pair ran unwaited because
+                # elapsed + 853 s pair estimate + 120 s missed the
+                # reserve line by 33 s).
                 rewait_affordable = (
                     (time.monotonic() - t_start)
                     + (pair_secs or 2 * headline["subprocess_secs"])
                     + 120.0
-                    < budget_s - reserve_s
+                    < budget_s
                 )
                 if window_fair or attempts >= 2 or not rewait_affordable:
                     break
