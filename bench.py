@@ -1194,8 +1194,13 @@ def _write_baseline_md(r: dict) -> None:
             "(host_efficiency, bw_scaling), every pair's window — and the",
             "otherwise-calibration-less headline start — must clear",
             "pre-declared ABSOLUTE delivery floors (~70% of this box's",
-            "measured healthy range: 12k/45k pure-CPU ops/s and 42/135",
-            "triad GB/s at 4/16 procs). Ratio gates alone pass a neighbor",
+            "measured healthy range for the CURRENT parse kernel —",
+            f"{HOST_FLOORS['low_ops_per_sec']/1000:g}k/"
+            f"{HOST_FLOORS['high_ops_per_sec']/1000:g}k kernel-burn ops/s and "
+            f"{HOST_FLOORS['low_bw_gbps']:g}/{HOST_FLOORS['high_bw_gbps']:g}",
+            "triad GB/s at 4/16 procs; the ops floors are denominated in",
+            "kernel pages/s and recalibrated after kernel changes, see",
+            "BENCH/HISTORY.md). Ratio gates alone pass a neighbor",
             "storm that halves BOTH levels proportionally while starving",
             "the bandwidth-bound 16-core crawl (the 0.591 history row).",
             "Floors only decide WHEN a measurement runs (bounded re-waits,",
