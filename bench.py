@@ -17,8 +17,9 @@ N vs 4N executors.
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
      SPARK_GRAFT_SKIP_SCALING=1 to skip the second run,
-     SPARK_GRAFT_BENCH_BUDGET_S (default 1500) wall-clock budget — rep
-     pairs beyond the first two are added only while they fit,
+     SPARK_GRAFT_BENCH_BUDGET_S (default 1560) wall-clock budget — rep
+     pairs beyond the first two are added only while they fit, and every
+     rep subprocess is capped at the remaining distance to budget+60s,
      SPARK_GRAFT_BENCH_MAX_REPS (default 5) interleaved pair cap,
      SPARK_GRAFT_CORPUS_MULT (default 384, the ~1.9M-page regime).
 Progressive state lands in BENCH/PARTIAL.json after every phase.
@@ -501,31 +502,48 @@ def run_all(cpus: int) -> dict:
     burst from deciding the recorded efficiency."""
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     spark = _spark(cpus)
+    # the parse probe runs FIRST, on the fresh JVM — not after the crawl.
+    # Measured on this box: the probe standalone scales 7.6k -> 26.8k
+    # pages/s from 4 -> 16 pinned cores (0.88), but the same probe run
+    # after a full crawl in the same JVM read 5.2k at 16 cores (the
+    # recorded 0.173 "data-plane efficiency" inversion) — crawl-heap
+    # garbage + GC state, not the kernel. Probe-first measures the kernel
+    # on the same JVM state at both levels. It is level-deterministic
+    # (fixed corpus, best-of-3, warm), so later reps of the same level
+    # skip it (orchestrator backfills) and its wall cost is recorded so
+    # the pair-budget gate can subtract this one-time tax.
+    t_probe = time.monotonic()
+    if os.environ.get("SPARK_GRAFT_SKIP_PROBE") == "1":
+        probe_val = None
+    else:
+        probe_val = run_parse_probe(spark, SF_DIR)
+    probe_secs = round(time.monotonic() - t_probe, 1)
     steal0 = _steal_jiffies()
     runs = [run_crawl(spark, SF_DIR, cpus) for _ in range(reps)]
     best = max(runs, key=lambda r: r["steady_urls_per_sec"])
-    # the parse probe is level-deterministic (fixed corpus, best-of-3,
-    # warm) — later reps of the same level skip it to save budget and the
-    # orchestrator reuses the first rep's value
-    if os.environ.get("SPARK_GRAFT_SKIP_PROBE") == "1":
-        best["parse_pages_per_sec"] = None
-    else:
-        best["parse_pages_per_sec"] = run_parse_probe(spark, SF_DIR)
+    best["parse_pages_per_sec"] = probe_val
+    best["probe_secs"] = probe_secs
     best["steal_jiffies_during"] = _steal_jiffies() - steal0
     best["reps"] = reps
     best["all_steady"] = [r["steady_urls_per_sec"] for r in runs]
     return best
 
 
-def _crawl_subprocess(cpus: int, probe: bool = True) -> dict:
+def _crawl_subprocess(
+    cpus: int, probe: bool = True, timeout_s: float | None = None
+) -> dict:
     """One crawl(+probe) measurement in a fresh JVM (own subprocess).
 
-    Hard per-rep timeout (SPARK_GRAFT_CRAWL_TIMEOUT_S, default 600 s): a
-    wedged rep (e.g. the Python-runner socket deadlock, see session.py) is
-    killed and recorded as ``hung`` — excluded from clean-rep selection —
-    instead of wedging the whole harness into the driver's rc=124. 600 s
-    is ~3x the slowest healthy rep at the default regime (low side ~190 s);
-    the r4 lesson: a 1200 s timeout let one wedge eat half the budget.
+    Hard per-rep timeout: a wedged rep (e.g. the Python-runner socket
+    deadlock, see session.py) is killed and recorded as ``hung`` —
+    excluded from clean-rep selection — instead of wedging the whole
+    harness into the driver's rc=124. The cap is the smaller of
+    SPARK_GRAFT_CRAWL_TIMEOUT_S (default 700 s, ~1.7x the slowest healthy
+    rep at the default mult=384 regime: low side ~385-410 s incl probe)
+    and the caller-supplied ``timeout_s`` — the orchestrator passes its
+    remaining distance to the hard wall so one wedge can never push the
+    whole run past the driver's kill ceiling (the r3 rc=124 lesson: an
+    overrun records NOTHING, strictly worse than one hung rep).
 
     CPU pinning (measurement honesty): ``local[N]`` bounds Spark TASK
     SLOTS, not host CPUs — Python UDF workers, GC threads, shuffle and
@@ -542,7 +560,8 @@ def _crawl_subprocess(cpus: int, probe: bool = True) -> dict:
     env["SPARK_GRAFT_BENCH_REPS"] = "1"
     if not probe:
         env["SPARK_GRAFT_SKIP_PROBE"] = "1"
-    timeout_s = float(os.environ.get("SPARK_GRAFT_CRAWL_TIMEOUT_S", "600"))
+    cap = float(os.environ.get("SPARK_GRAFT_CRAWL_TIMEOUT_S", "700"))
+    timeout_s = cap if timeout_s is None else max(60.0, min(cap, timeout_s))
     pin = (
         ["taskset", "-c", f"0-{cpus - 1}"]
         if os.environ.get("SPARK_GRAFT_PIN", "1") != "0"
@@ -673,12 +692,25 @@ def main() -> None:
     # for a median), further pairs run only while the measured cost of the
     # last pair still fits; partial results land in BENCH/PARTIAL.json
     # after every phase so even a hard kill leaves evidence on disk.
-    # 1500 s default: r1's ~1700 s bench survived the driver's timeout and
-    # r3's >2400 s one did not, so the safe ceiling is below 1700; at the
-    # default regime (headline ~130 s + calibration + 417 s/pair + queries)
-    # this fits the mandatory two pairs with ~400 s of weather-wait slack.
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1500"))
+    # 1560 s default: r1's ~1700 s bench survived the driver's timeout and
+    # r3's >2400 s one did not, so the safe ceiling is just under 1700.
+    # At the mult=384 regime (headline ~230 s + ~660 s first pair incl the
+    # one-time probes + ~620 s marginal second pair + ~25 s queries) the
+    # mandatory two pairs fit at ~1530 s on a quiet host — 1500 refused
+    # pair 2 by ~30 s on a CLEAN window (the one-pair 0.865 run), which
+    # starves the pair-median of samples exactly when the weather is
+    # best. The hard wall below bounds the worst case well under 1700.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1560"))
     t_start = time.monotonic()
+    # Hard wall (rc=124 insurance): every subprocess rep is capped at the
+    # remaining distance to budget + 60 s grace minus the post-scaling
+    # tail (queries + baseline write, ~40 s measured), so even a rep that
+    # wedges at the worst moment ends as one `hung` record and the run
+    # still prints its JSON line before the driver's kill ceiling.
+    hard_wall_s = budget_s + 60.0
+
+    def _rep_timeout() -> float:
+        return hard_wall_s - (time.monotonic() - t_start) - 40.0
     # queries + session start + baseline write — measured ~25 s on the
     # pipelined engine's runs (bench_wall 965 s vs 942 s at pair end);
     # 90 s keeps ~3.5x margin while letting a third interleaved pair —
@@ -724,7 +756,7 @@ def main() -> None:
         weather.append(
             (f"start_rewait{start_gate['attempts']}", _wait_for_quiet(90.0))
         )
-    headline = _crawl_subprocess(CPUS)
+    headline = _crawl_subprocess(CPUS, timeout_s=_rep_timeout())
     # retry only while the budget still affords the retry PLUS two rep
     # pairs — the graded scaling pair outranks a prettier headline. A pair
     # costs ~2.3x the headline on this box (the low side crawls the same
@@ -739,7 +771,7 @@ def main() -> None:
         + headline["subprocess_secs"] * (1 + 2 * 2.5)
         < budget_s - reserve_s
     ):
-        retry = _crawl_subprocess(CPUS)
+        retry = _crawl_subprocess(CPUS, timeout_s=_rep_timeout())
         headline = max(
             (headline, retry), key=lambda r: r["steady_urls_per_sec"]
         )
@@ -869,9 +901,22 @@ def main() -> None:
                 0.5 <= calib.get("host_efficiency", 0) <= 1.05
             ):
                 calib = pcal
-            runs[hi_cpus].append(_crawl_subprocess(hi_cpus, probe=first))
-            runs[low_cpus].append(_crawl_subprocess(low_cpus, probe=first))
-            pair_secs = time.monotonic() - t_pair
+            runs[hi_cpus].append(
+                _crawl_subprocess(hi_cpus, probe=first, timeout_s=_rep_timeout())
+            )
+            runs[low_cpus].append(
+                _crawl_subprocess(low_cpus, probe=first, timeout_s=_rep_timeout())
+            )
+            # pair cost for the budget gate = MARGINAL cost of the next
+            # pair: the parse probes run once per level (first pair only,
+            # ~35-60 s total), so charging them against every future pair
+            # refused a second pair that actually fit (the one-pair 0.865
+            # run missed its pair-2 gate by ~27 s — the probe tax).
+            probe_tax = sum(
+                r.get("probe_secs") or 0.0
+                for r in (runs[hi_cpus][-1], runs[low_cpus][-1])
+            )
+            pair_secs = (time.monotonic() - t_pair) - probe_tax
             _write_partial({
                 "phase": f"pair_{_rep + 1}",
                 "headline": headline,
@@ -1211,7 +1256,11 @@ def _write_baseline_md(r: dict) -> None:
             "frontier scale (every round is large there). The data-plane probe",
             "is the crawl's compute kernel (scan + Arrow decode/absolutize/",
             "extract) without per-round driver coordination — the number that",
-            "reflects executor scaling on a real cluster. This sandbox is a",
+            "reflects executor scaling on a real cluster. It runs FIRST in",
+            "each level's fresh JVM: run after the crawl in the same JVM,",
+            "crawl-heap garbage + GC state degraded the 16-core probe ~5x",
+            "(the 0.173 row in the 2026-08-20 run; standalone the same probe",
+            "scales 7.6k -> 26.8k pages/s = 0.88). This sandbox is a",
             "shared-host microVM with bursty CPU steal: reps are interleaved",
             "high/low, reps above the steal threshold are excluded (audit",
             "values above), and the CPU-normalized efficiency — urls per busy",
