@@ -65,6 +65,15 @@ def _spark(cpus: int):
 
     conf = {
         "spark.driver.memory": os.environ.get("ACRAWLER_DRIVER_MEM", "24g"),
+        # pre-size the heap: without -Xms the first big round expands the
+        # heap ~2->15 GB under 16 allocating task threads and the
+        # grow-and-GC stalls land entirely inside the measured window
+        # (event-log: round 2's pages stage burned 204 s JVM CPU vs round
+        # 3's 110 s for the same page count; -Xms moves that to JVM start)
+        "spark.driver.extraJavaOptions": os.environ.get(
+            "ACRAWLER_DRIVER_JAVA_OPTS",
+            "-Xms" + os.environ.get("ACRAWLER_DRIVER_MEM", "24g"),
+        ),
         # compressed-page corpora: split scans so decompressed fetch-join
         # /parse work spreads across cores WITHOUT a task swarm (4 MB
         # splits made hundreds of launches per scan — serial driver cost)
@@ -707,7 +716,11 @@ def main() -> None:
     # tail (queries + baseline write, ~40 s measured), so even a rep that
     # wedges at the worst moment ends as one `hung` record and the run
     # still prints its JSON line before the driver's kill ceiling.
-    hard_wall_s = budget_s + 60.0
+    # +80 s grace: worst-case finish = wall + ~40 s tail ≈ budget+120,
+    # still under the observed r1 survival point (~1700 s) at the 1560
+    # default — while giving pair 2's low rep ~20 s more headroom against
+    # being clipped at the exact moment a clean-but-slow window needs it.
+    hard_wall_s = budget_s + 80.0
 
     def _rep_timeout() -> float:
         return hard_wall_s - (time.monotonic() - t_start) - 40.0
