@@ -107,13 +107,65 @@ def _spark(cpus: int):
     )
 
 
+def _bench_corpus_params() -> dict:
+    """The one place the bench corpus regime is defined (shared by
+    run_crawl and the --build-corpus pre-phase)."""
+    return {
+        "n_hosts": 32,
+        "fanout": int(os.environ.get("SPARK_GRAFT_FANOUT", "8")),
+        "mult": int(os.environ.get("SPARK_GRAFT_CORPUS_MULT", "384")),
+        "body_repeat": int(os.environ.get("SPARK_GRAFT_BODY_REPEAT", "64")),
+    }
+
+
+def _corpus_cache_dir(
+    sf_dir: str, n_hosts: int, fanout: int, mult: int, body_repeat: int
+) -> str:
+    key = (
+        f"{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_h{n_hosts}_f{fanout}_m{mult}_b{body_repeat}_v2"
+    )
+    return os.path.join(tempfile.gettempdir(), f"acrawler_corpus_cache_{key}")
+
+
+def _build_corpus_cache(
+    spark, sf_dir: str, n_hosts: int, fanout: int, mult: int,
+    body_repeat: int, n_buckets: int = 64,
+) -> None:
+    """Materialize the deterministic bench corpus (v2 layout).
+
+    File-size balance inside each bucket dir: one ~66 MB file per bucket
+    gave the 16-core pages stage only 64 real scan tasks of 5-7 s each
+    (splits below a file's single row group are husks), so the stage ran
+    in 4 lumpy waves with a multi-second straggler tail — event-log:
+    stage wall 29.6 s vs sum(run)/16 = 26.6 s ideal packing. Range-
+    partitioning (bucket, url) into ~5 files per bucket yields ~300
+    equal-count row groups -> ~1.3 s tasks that pack smoothly at any core
+    count. (The Iceberg analog: write.target-file-size-bytes.)"""
+    from pyspark.sql import functions as F
+
+    from acrawler_spark.sources.corpus import corpus_from_documents
+
+    corpus_dir = _corpus_cache_dir(sf_dir, n_hosts, fanout, mult, body_repeat)
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+    corpus_from_documents(
+        spark, sf_dir, n_hosts=n_hosts, fanout=fanout, multiplier=mult,
+        body_repeat=body_repeat,
+    ).withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets))
+    ).repartitionByRange(n_buckets * 5, "bucket", "url").write.partitionBy(
+        "bucket"
+    ).mode("overwrite").parquet(corpus_dir)
+    with open(os.path.join(corpus_dir, "_DONE"), "w") as f:
+        f.write("ok")
+
+
 def run_crawl(spark, sf_dir: str, cpus: int) -> dict:
     """The headline workload: crawl a documents-derived corpus to frontier
     exhaustion; throughput counts fetched+extracted pages."""
     from pyspark.sql import functions as F
 
     from acrawler_spark.plans.engine import CrawlConfig, CrawlEngine
-    from acrawler_spark.sources.corpus import corpus_from_documents
     from acrawler_spark.sources.store import CheckpointStore
 
     n_hosts = 32
@@ -154,21 +206,12 @@ def run_crawl(spark, sf_dir: str, cpus: int) -> dict:
     # parallelism levels (the input table is the same "web" either way);
     # this keeps large-round corpora affordable per rep.
     n_buckets = 64
-    key = f"{os.path.basename(sf_dir.rstrip('/'))}_h{n_hosts}_f{fanout}_m{mult}_b{body_repeat}"
-    corpus_dir = os.path.join(tempfile.gettempdir(), f"acrawler_corpus_cache_{key}")
+    corpus_dir = _corpus_cache_dir(sf_dir, n_hosts, fanout, mult, body_repeat)
     done = os.path.join(corpus_dir, "_DONE")
     if not os.path.exists(done):
-        shutil.rmtree(corpus_dir, ignore_errors=True)
-        corpus_from_documents(
-            spark, sf_dir, n_hosts=n_hosts, fanout=fanout, multiplier=mult,
-            body_repeat=body_repeat,
-        ).withColumn(
-            "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets))
-        ).repartition(n_buckets, "bucket").write.partitionBy("bucket").mode(
-            "overwrite"
-        ).parquet(corpus_dir)
-        with open(done, "w") as f:
-            f.write("ok")
+        _build_corpus_cache(
+            spark, sf_dir, n_hosts, fanout, mult, body_repeat, n_buckets
+        )
     corpus = spark.read.parquet(corpus_dir)
     # Depth-seeded frontier (r4): a 10^10-URL crawl never operates in the
     # tiny-BFS-warmup regime — a resumed frontier is deep from its first
@@ -681,6 +724,19 @@ def main() -> None:
         cpus = int(sys.argv[2])
         print(json.dumps(run_all(cpus)))
         return
+    if len(sys.argv) >= 2 and sys.argv[1] == "--build-corpus":
+        # pre-phase subprocess: materialize the shared corpus + probe
+        # caches at full width so no graded (pinned) rep pays the build
+        p = _bench_corpus_params()
+        spark = _spark(CPUS)
+        if not os.path.exists(
+            os.path.join(_corpus_cache_dir(SF_DIR, **p), "_DONE")
+        ):
+            _build_corpus_cache(spark, SF_DIR, **p)
+        run_parse_probe(spark, SF_DIR)  # builds the probe cache if cold
+        spark.stop()
+        print(json.dumps({"ok": True}))
+        return
 
     import __spark_entry__ as E
 
@@ -739,20 +795,50 @@ def main() -> None:
     low_cpus = max(2, hi_cpus // 4)
     skip_scaling = os.environ.get("SPARK_GRAFT_SKIP_SCALING") == "1"
 
-    # headline crawl at full width (the throughput the engine sustains on
-    # every vCPU the box offers). The first run also builds the shared
-    # corpus cache at full width. A steal-polluted headline (this is one
-    # unguarded rep — exactly what hit r3's 661 s outlier) is retried once
-    # if the budget affords it.
-    weather = [("headline", _wait_for_quiet(90.0))]
-    # Headline-start storm gate (0.591-row lesson): the headline is the one
-    # rep with no calibration beside it, and a sub-threshold-steal
-    # bandwidth storm (host at ~55% of its compute norm for >4 min) walked
-    # straight through the steal-only quiet-wait above. Probe the LOW
-    # level's absolute delivery (~8 s); while it is under the pre-declared
-    # floors, re-wait — a recovered window buys strictly better evidence
-    # than a degraded full run, and the spend is capped so a storm that
-    # outlasts the cap still yields a complete (audited) run.
+    # PHASE ORDER (r4 self-poisoning lesson): scaling pairs FIRST, the
+    # full-width headline LAST. Measured on this box: a sustained
+    # full-width load (the 32-core headline, a corpus build, or an
+    # equivalent 120 s pure-CPU burn) degrades a FOLLOWING 16-core crawl
+    # rep by ~30-35% (26.0k -> 17.0k steady urls/s) with zero steal, with
+    # the damage growing minutes AFTER the load stops — while the short
+    # (6 s) pure-CPU calibration and the 2 s triad both read HEALTHY in
+    # the same window, because burst delivery recovers long before
+    # sustained delivery does. The old order ran the headline ~1-2 min
+    # before pair 1, so every graded high rep inherited that decayed
+    # state (the 0.53 run: two high reps at 18.1k with healthy
+    # calibrations beside them) while the 4-core low side — too light to
+    # be throttled — kept its full speed. Pairs-first gives the graded
+    # ratio the freshest windows; the ungraded headline absorbs the
+    # end-of-run state.
+    weather = [("start", _wait_for_quiet(90.0))]
+    # Corpus pre-phase: a COLD corpus cache would otherwise be built by
+    # pair 1's first rep (pinned, mid-measurement, full-width load inside
+    # a graded window). Build it up front at full width, then cool down
+    # (SPARK_GRAFT_COOLDOWN_S) before the first graded rep so the
+    # sustained-delivery decay the build induces has passed.
+    cooldown_s = float(os.environ.get("SPARK_GRAFT_COOLDOWN_S", "180"))
+    p = _bench_corpus_params()
+    corpus_cold = not os.path.exists(
+        os.path.join(_corpus_cache_dir(SF_DIR, **p), "_DONE")
+    )
+    build_info = {"built": False}
+    if corpus_cold:
+        t_b = time.monotonic()
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--build-corpus"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=max(60.0, _rep_timeout()),
+        )
+        build_info = {"built": True, "secs": round(time.monotonic() - t_b, 1)}
+        weather.append(("post_build_cooldown", _wait_for_quiet(30.0)))
+        time.sleep(cooldown_s)
+    _write_partial({"phase": "corpus", "build": build_info})
+    # Pair-start storm gate (0.591-row lesson): probe the LOW level's
+    # absolute delivery (~8 s); while it is under the pre-declared floors,
+    # re-wait — a recovered window buys strictly better evidence than a
+    # degraded full run, and the spend is capped so a storm that outlasts
+    # the cap still yields a complete (audited) run.
     start_gate = {"attempts": 0}
     while True:
         start_gate["low_ops_per_sec"] = round(_pure_cpu_ops_per_sec(low_cpus), 0)
@@ -769,31 +855,18 @@ def main() -> None:
         weather.append(
             (f"start_rewait{start_gate['attempts']}", _wait_for_quiet(90.0))
         )
-    headline = _crawl_subprocess(CPUS, timeout_s=_rep_timeout())
-    # retry only while the budget still affords the retry PLUS two rep
-    # pairs — the graded scaling pair outranks a prettier headline. A pair
-    # costs ~2.3x the headline on this box (the low side crawls the same
-    # corpus at a quarter of the cores: measured 529 s pair vs 234 s
-    # headline at mult=384); the previous 2-headline estimate admitted a
-    # retry that then cost the run its second pair (the one-pair 0.558
-    # run) — the exact trade this guard exists to refuse.
-    if (
-        _steal_frac(headline) >= STEAL_FRAC_MAX
-        and not skip_scaling
-        and time.monotonic() - t_start
-        + headline["subprocess_secs"] * (1 + 2 * 2.5)
-        < budget_s - reserve_s
-    ):
-        retry = _crawl_subprocess(CPUS, timeout_s=_rep_timeout())
-        headline = max(
-            (headline, retry), key=lambda r: r["steady_urls_per_sec"]
-        )
-    _write_partial({"phase": "headline", "headline": headline})
 
     runs: dict[int, list[dict]] = {hi_cpus: [], low_cpus: []}
     calib = None
     calib_pairs: list[dict] = []  # one host calibration per interleaved pair
     budget_note = None
+    # the headline now runs AFTER the pairs: its cost must be reserved by
+    # every pair-admission gate (measured 126-235 s at mult=384 across
+    # weather; reserve the storm end of the range)
+    headline_reserve_s = 260.0
+    # pair-cost estimate before the first pair has been measured (the old
+    # code estimated from the headline, which no longer precedes the pairs)
+    pair_est_s = 550.0
     if not skip_scaling:
         pair_secs = 0.0
         for _rep in range(max_reps):
@@ -811,12 +884,16 @@ def main() -> None:
                 elapsed = time.monotonic() - t_start
                 margin = 1.0 if _rep == 1 else 1.25
                 # pair 2 is the difference between a one-pair run (no
-                # median) and gradeable evidence: admit it against the full
-                # budget, not budget-minus-reserve — the post-pair tail
-                # (queries + baseline write) measured ~25 s, and the
-                # observed driver-kill ceiling is >1700 s (r1's 1700 s run
-                # survived), so budget_s + tail still clears it.
-                ceiling = budget_s if _rep == 1 else budget_s - reserve_s
+                # median) and gradeable evidence: admit it against the
+                # budget minus only the headline reserve (the post-pair
+                # tail beyond the headline — queries + baseline write —
+                # measured ~25 s, and the observed driver-kill ceiling is
+                # >1700 s, so a small overshoot still clears it).
+                ceiling = (
+                    budget_s - headline_reserve_s
+                    if _rep == 1
+                    else budget_s - reserve_s - headline_reserve_s
+                )
                 if elapsed + margin * pair_secs > ceiling:
                     budget_note = (
                         f"stopped after {_rep} pairs: elapsed {elapsed:.0f}s"
@@ -830,8 +907,9 @@ def main() -> None:
             # discarded storm pair costs far more wall than the wait
             wait_cap = max(
                 0.0,
-                min(240.0, (budget_s - reserve_s) - (time.monotonic() - t_start)
-                    - (pair_secs or 2 * headline["subprocess_secs"])),
+                min(240.0, (budget_s - reserve_s - headline_reserve_s)
+                    - (time.monotonic() - t_start)
+                    - (pair_secs or pair_est_s)),
             )
             weather.append((f"pair_{_rep + 1}", _wait_for_quiet(wait_cap)))
             # host pure-CPU calibration runs INSIDE EVERY pair's quiet
@@ -899,9 +977,9 @@ def main() -> None:
                 # reserve line by 33 s).
                 rewait_affordable = (
                     (time.monotonic() - t_start)
-                    + (pair_secs or 2 * headline["subprocess_secs"])
+                    + (pair_secs or pair_est_s)
                     + 120.0
-                    < budget_s
+                    < budget_s - headline_reserve_s
                 )
                 if window_fair or attempts >= 2 or not rewait_affordable:
                     break
@@ -929,10 +1007,23 @@ def main() -> None:
                 r.get("probe_secs") or 0.0
                 for r in (runs[hi_cpus][-1], runs[low_cpus][-1])
             )
+            # POST-pair calibration (sustained-decay audit): the pre-pair
+            # reading is taken in a recovered window, but the decay this
+            # box exhibits sets in DURING sustained load — a short burst
+            # probe before the reps cannot see it (measured: calibration
+            # 239k ops/s + 208 GB/s healthy immediately before two high
+            # reps that ran 30% under their clean-window speed). A second
+            # reading AFTER the pair bounds the window from both sides;
+            # disagreement (post well under pre) marks the pair as run in
+            # a decaying window. Recorded as audit evidence only — rep
+            # exclusion stays with the steal + CPU-efficiency gates.
+            pcal["post_high_ops_per_sec"] = round(
+                _pure_cpu_ops_per_sec(hi_cpus, secs=3.0), 0
+            )
+            pcal["post_high_bw_gbps"] = round(_mem_bw_gbps(hi_cpus), 2)
             pair_secs = (time.monotonic() - t_pair) - probe_tax
             _write_partial({
                 "phase": f"pair_{_rep + 1}",
-                "headline": headline,
                 "high": runs[hi_cpus],
                 "low": runs[low_cpus],
             })
@@ -960,6 +1051,25 @@ def main() -> None:
             for r in runs[lvl]:
                 if not r.get("parse_pages_per_sec"):
                     r["parse_pages_per_sec"] = probe_val
+
+    # headline crawl at full width (the throughput the engine sustains on
+    # every vCPU the box offers) — LAST, so its sustained full-box load
+    # cannot decay the graded pairs (see the phase-order note above). A
+    # steal-polluted headline is retried once if the budget affords it.
+    weather.append(("headline", _wait_for_quiet(60.0)))
+    headline = _crawl_subprocess(CPUS, timeout_s=_rep_timeout())
+    if (
+        _steal_frac(headline) >= STEAL_FRAC_MAX
+        and time.monotonic() - t_start + 1.2 * headline["subprocess_secs"]
+        < budget_s + 40.0
+    ):
+        retry = _crawl_subprocess(CPUS, timeout_s=_rep_timeout())
+        headline = max(
+            (headline, retry), key=lambda r: r["steady_urls_per_sec"]
+        )
+    _write_partial({"phase": "headline", "headline": headline})
+
+    if not skip_scaling:
         crawl_high, high_clean = _pick(runs[hi_cpus])
     else:
         crawl_high, high_clean = headline, [headline]
@@ -1247,6 +1357,23 @@ def _write_baseline_md(r: dict) -> None:
             "engine generations: entries before the round-pipelining change",
             "(the first four pair-medians, all < 0.8) measured the previous",
             "engine — see BENCH/HISTORY.md for the per-era breakdown.",
+            "",
+            "Phase order: scaling pairs FIRST, the full-width headline",
+            "LAST. Measured on this box (2026-08-20): a sustained",
+            "full-width load — the 32-core headline, a corpus build, or an",
+            "equivalent 120 s pure-CPU burn — degrades a FOLLOWING 16-core",
+            "crawl rep ~30-35% (26.0k -> 17.0k steady urls/s) at zero",
+            "steal, the damage growing for minutes after the load stops,",
+            "while the short burst calibrations (6 s CPU, 2 s triad) read",
+            "HEALTHY in the same window: burst delivery recovers long",
+            "before sustained delivery. The pre-reorder harness ran the",
+            "headline ~1-2 min before pair 1, so graded high reps",
+            "inherited that decayed state (the 0.53 run: two high reps at",
+            "18.1k beside healthy calibrations) while the 4-core low side",
+            "was too light to be throttled — a structural bias against",
+            "the measured ratio. Each pair now also records a POST-pair",
+            "calibration (post_high_* in the per-pair rows) so a window",
+            "that decayed mid-pair is visible in-band from both sides.",
             "",
             "Window admission: besides steal and the RATIO checks",
             "(host_efficiency, bw_scaling), every pair's window — and the",
