@@ -1263,7 +1263,14 @@ def _run_history(s: dict) -> str:
             c.get("bw_scaling")
             for c in s.get("host_calibration_per_pair") or []
         ],
+        # regime tag: rows from non-default corpora (smoke tests, custom
+        # SF dirs) carry their regime and are EXCLUDED from the cross-run
+        # medians below — a sf0.001 smoke run is not evidence about the
+        # graded sf0.1 regime. Legacy rows (no tag) are all sf0.1 runs.
+        "regime": f"{os.path.basename(SF_DIR.rstrip('/'))}"
+                  f"_m{_bench_corpus_params()['mult']}",
     }
+    graded_regime = rec["regime"] == "sf0.1_m384"
     try:
         # Idempotent append: re-rendering the md from a saved result dict
         # (or a retried write) must not double-count the run.
@@ -1277,10 +1284,11 @@ def _run_history(s: dict) -> str:
             with open(path, "a") as f:
                 f.write(json.dumps(rec) + "\n")
         hist = [
-            json.loads(ln) for ln in open(path) if ln.strip()
+            r for r in (json.loads(ln) for ln in open(path) if ln.strip())
+            if r.get("regime", "sf0.1_m384") == "sf0.1_m384"
         ]
     except OSError:
-        hist = [rec]
+        hist = [rec] if graded_regime else []
     pm = sorted(h["pair_median"] for h in hist if h.get("pair_median"))
     cp = sorted(h["cpu"] for h in hist if h.get("cpu"))
     vh = sorted(
