@@ -74,13 +74,21 @@ def get_spark(
         # candidate rows cross the Python boundary in ~115k batches per
         # steady round — per-batch overhead was ~half the commit phase's
         # task time at 16 cores.
+        # Cap value: 1 MiB (was 256 KiB). Still 4x under the 4 MB socket
+        # buffer, so the liveness bound holds (a pending 1 MiB input write
+        # completes whenever output backs up by < 3 MB, and outputs are
+        # sliced by the same byte cap). The larger slices quarter the
+        # batch-crossing count of html-heavy stages; interleaved A/B of
+        # the fetch-parse probe at local[16] measured +5-14% pages/s
+        # (scripts/probe_ab.py), with the task-blocked share of the pages
+        # stage (run time >> CPU time in the event log) the direct cost.
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             os.environ.get("ACRAWLER_ARROW_BATCH", "8192"),
         )
         .config(
             "spark.sql.execution.arrow.maxBytesPerBatch",
-            os.environ.get("ACRAWLER_ARROW_MAX_BYTES", str(256 * 1024)),
+            os.environ.get("ACRAWLER_ARROW_MAX_BYTES", str(1024 * 1024)),
         )
         # Speculation: ON for cluster masters (straggler re-launch is the
         # standard guard there) but OFF in local mode — a speculative copy

@@ -80,6 +80,14 @@ def _spark(cpus: int):
         "spark.sql.files.maxPartitionBytes": os.environ.get(
             "SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)
         ),
+        # vectorized-reader batch sized to THIS corpus's ~19 KB pages:
+        # 1024 rows ≈ 20 MB decompressed per task — well inside the bench
+        # heap, and interleaved A/B of the fetch-parse probe at local[16]
+        # measured +14% pages/s vs the session default 512 (which is
+        # sized for ~100 KB real-web pages; scripts/probe_ab.py).
+        "spark.sql.parquet.columnarReaderBatchSize": os.environ.get(
+            "ACRAWLER_READER_BATCH", "1024"
+        ),
     }
     # shuffle/broadcast scratch on tmpfs for the same reason the store is
     # (see run_crawl): the shared virtio disk's writeback/discard bursts
