@@ -103,21 +103,48 @@ def apply_host_budgets(
     uniform: int = 0,
     special: dict[str, int] | None = None,
     salt_n: int = 4,
+    delay_budgets: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split eligible frontier rows into (selected, deferred) per budgets.
 
     Returns both sides with the original frontier columns (plus ``budget``
     dropped). Deferred rows keep their exetime — they were already due and
     simply wait for the next round (reference: ReScheduleError with the
-    politeness counter exhausted, counter.py:86,94)."""
+    politeness counter exhausted, counter.py:86,94).
+
+    ``delay_budgets`` is an optional tiny (host, delay_budget) table —
+    robots.txt Crawl-delay converted to a per-round cap
+    (robots.delay_budgets_df). It min-combines with the uniform/special
+    budget via a broadcast join on host: no shuffle on the frontier, and
+    hosts absent from the table keep their configured budget."""
     special = special or {}
     cols = eligible.columns
     b = eligible.withColumn("budget", budget_col(F.col("host"), uniform, special))
+    if delay_budgets is not None:
+        b = (
+            b.join(
+                F.broadcast(
+                    delay_budgets.select(
+                        F.col("host").alias("_dhost"), "delay_budget"
+                    )
+                ),
+                F.col("host") == F.col("_dhost"),
+                "left",
+            )
+            .withColumn(
+                "budget",
+                F.least(
+                    F.col("budget"),
+                    F.coalesce(F.col("delay_budget"), F.lit(UNLIMITED)),
+                ),
+            )
+            .drop("_dhost", "delay_budget")
+        )
 
     unlimited = b.filter(F.col("budget") >= UNLIMITED).select(*cols)
     limited = b.filter(F.col("budget") < UNLIMITED)
 
-    if not special and uniform <= 0:
+    if not special and uniform <= 0 and delay_budgets is None:
         # fast path: nobody is limited — no shuffle at all
         return eligible, eligible.limit(0)
 

@@ -6,7 +6,10 @@ prefixes, crawl_delay double), broadcast-joined to the frontier as one more
 admission predicate before politeness ranking. Disallowed rows are dropped
 to a ``robots_blocked`` table (they are NOT retried — a disallow is
 permanent for the crawl), and crawl_delay folds into the per-host budget
-the same way DOWNLOAD_DELAY does (engine.effective_host_budget).
+the same way DOWNLOAD_DELAY does: :func:`delay_budgets_df` converts each
+host's delay to a per-round cap ``max(1, floor(round_seconds/delay))``,
+which ``politeness.apply_host_budgets`` min-combines with the
+uniform/special budget via a broadcast join on host.
 
 Rules parsing accepts the simple robots.txt subset (User-agent: * blocks)
 so fixtures can feed raw robots bodies; at production scale the parsed
@@ -60,6 +63,25 @@ def rules_df(spark: SparkSession, rules: dict[str, dict]) -> DataFrame:
         for h, r in sorted(rules.items())
     ]
     return spark.createDataFrame(rows, RULES_SCHEMA)
+
+
+def delay_budgets_df(rules: DataFrame, round_seconds: float) -> DataFrame:
+    """Per-host Crawl-delay as a per-round admission cap: with delay d a
+    host serves at most ``max(1, floor(round_seconds/d))`` fetches per
+    round — the same fold DOWNLOAD_DELAY gets in
+    ``CrawlConfig.effective_host_budget``, but per-host. The result is a
+    tiny (host, delay_budget) table broadcast into the politeness stage."""
+    return rules.filter(
+        F.col("crawl_delay").isNotNull() & (F.col("crawl_delay") > 0)
+    ).select(
+        "host",
+        F.greatest(
+            F.lit(1),
+            F.floor(F.lit(float(round_seconds)) / F.col("crawl_delay")),
+        )
+        .cast("int")
+        .alias("delay_budget"),
+    )
 
 
 def apply_robots(

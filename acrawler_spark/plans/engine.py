@@ -254,11 +254,23 @@ class CrawlEngine:
         else:
             self.feeder = None
         if cfg.robots_rules:
-            from acrawler_spark.operators.robots import rules_df
+            from acrawler_spark.operators.robots import delay_budgets_df, rules_df
 
             self.robots = rules_df(spark, cfg.robots_rules)
+            # per-host Crawl-delay -> per-round cap, min-combined with the
+            # configured budgets inside the politeness stage. Built only
+            # when some host declares a delay (config-known, no job).
+            self.robots_delay = (
+                delay_budgets_df(self.robots, cfg.round_seconds)
+                if any(
+                    (r.get("crawl_delay") or 0) > 0
+                    for r in cfg.robots_rules.values()
+                )
+                else None
+            )
         else:
             self.robots = None
+            self.robots_delay = None
         # handle to the next round's pre-computed selection (filled by
         # run_round's commit pool, claimed or discarded by run())
         self._next_prep: dict | None = None
@@ -387,6 +399,7 @@ class CrawlEngine:
             uniform=cfg.effective_host_budget(),
             special=cfg.special_host_budgets,
             salt_n=cfg.salt_n,
+            delay_budgets=self.robots_delay,
         )
         if cfg.round_cap is not None:
             selected = selected.orderBy(*rank_keys()).limit(cfg.round_cap)

@@ -61,6 +61,51 @@ def test_engine_robots_blocks_subtree(spark, tmp_path):
     assert blocked.filter(F.col("host") == "site1.test").count() > 0
 
 
+def test_crawl_delay_caps_per_round_admission(spark, tmp_path):
+    """robots Crawl-delay must FOLD INTO the per-host budget (r4 verdict #3:
+    previously parsed but never enforced). With round_seconds=60 and
+    crawl_delay=30, site1 admits at most floor(60/30)=2 urls per round,
+    so its fetches spread over more rounds than site0's."""
+    corpus = fixture_corpus_df(spark, n_hosts=2, depth=2, fanout=3)
+
+    def rounds_per_host(tag, robots_rules):
+        cfg = CrawlConfig(
+            seeds=seed_urls(2),
+            follow_patterns=FOLLOW,
+            bloom_bits=1 << 14,
+            robots_rules=robots_rules,
+            round_seconds=60.0,
+        )
+        store = CheckpointStore(str(tmp_path / tag), spark)
+        CrawlEngine(spark, cfg, store).run(corpus)
+        log = store.read_appended("fetch_log")
+        per_round = {
+            (r.host, r.round): r.n
+            for r in log.groupBy("host", "round")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        totals = {
+            r.host: r.n
+            for r in log.groupBy("host").agg(F.count("*").alias("n")).collect()
+        }
+        return per_round, totals
+
+    delayed, totals_d = rounds_per_host(
+        "delayed", {"site1.test": {"crawl_delay": 30.0}}
+    )
+    free, totals_f = rounds_per_host("free", {"site1.test": {}})
+    # every site1 round admits <= floor(60/30) = 2 under the delay...
+    site1_rounds = {k: v for k, v in delayed.items() if k[0] == "site1.test"}
+    assert site1_rounds and max(site1_rounds.values()) <= 2
+    # ...but without it the same crawl admits more per round somewhere
+    assert max(v for k, v in free.items() if k[0] == "site1.test") > 2
+    # the cap defers, never drops: both crawls fetch the same site1 pages
+    assert totals_d["site1.test"] == totals_f["site1.test"]
+    # site0 (no rules) is untouched by site1's delay
+    assert totals_d["site0.test"] == totals_f["site0.test"]
+
+
 def test_seed_inbox_ingestion(spark, tmp_path):
     corpus = fixture_corpus_df(spark, n_hosts=3, depth=1, fanout=2)
     inbox = str(tmp_path / "inbox")
