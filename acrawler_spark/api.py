@@ -110,3 +110,45 @@ class Crawl:
         store = CheckpointStore(workdir, spark)
         CrawlEngine(spark, self._cfg, store).run(corpus)
         return store
+
+    def until_group(
+        self,
+        spark: SparkSession,
+        corpus: DataFrame | None,
+        workdir: str,
+        urls: list,
+        ancestor: str | None = None,
+    ) -> "DataFrame":
+        """``add_then_wait`` analog (reference crawler.py:332-339 behind
+        web.py:30-45's ``GET /add``): seed ``urls`` as ONE ancestor group
+        (``dont_filter``, exactly as web ``add_task`` does), run rounds
+        only until that group's unfinished count reaches 0, and return
+        the group's items as a DataFrame. Links followed from the group's
+        pages inherit its ancestor, so the wait covers the whole subtree
+        (counter.join_by_ancestor_unfinished). Rows OUTSIDE the group —
+        other seeds, future-delayed work — may remain pending in the
+        store, resumable by a later ``run()``: the batch analog of the
+        reference's crawler continuing to serve after answering a query.
+
+        The group tag defaults to ``web@<fingerprint(first url)>`` —
+        deterministic (the reference's ``web@<time>`` tag is only a
+        uniquifier)."""
+        from pyspark.sql import functions as F
+
+        from acrawler_spark.kernel import fingerprint
+        from acrawler_spark.plans.views import items_view
+
+        if corpus is None and self._cfg.http_fetch is None:
+            raise ValueError("corpus=None requires .http_transport(...)")
+        first = urls[0] if isinstance(urls[0], str) else urls[0]["url"]
+        tag = ancestor or "web@" + fingerprint(first)
+        group = [
+            {**({"url": u} if isinstance(u, str) else dict(u)),
+             "ancestor": tag, "dont_filter": True}
+            for u in urls
+        ]
+        self._cfg.seeds = list(self._cfg.seeds) + group
+        store = CheckpointStore(workdir, spark)
+        CrawlEngine(spark, self._cfg, store).run(corpus, until_ancestor=tag)
+        pages = store.read_appended("pages")
+        return items_view(pages.filter(F.col("ancestor") == tag))

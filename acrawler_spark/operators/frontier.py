@@ -75,10 +75,14 @@ def seeds_frontier(
 
     Each seed is a plain url string or a dict of per-Request fields
     (http.py:99-105): ``{"url": ..., "method": "POST", "priority": 2,
-    "status_allowed": [503], "family": ..., "recrawl": s, "meta": {...}}``.
-    Seed exetime = init_time = t0 (task.py:73-79); ancestor = own
+    "status_allowed": [503], "family": ..., "recrawl": s, "meta": {...},
+    "delay_s": 60, "ancestor": "web@...", "dont_filter": True}``.
+    Seed exetime = init_time = t0 (task.py:73-79) + optional ``delay_s``
+    (the reference's Request(exetime=now+delay) shape); ancestor = own
     fingerprint (crawler.py:341-364: tasks without a parent group by their
-    own fp)."""
+    own fp) unless tagged explicitly (add_task(ancestor=...) — the
+    web-mode group tag, crawler.py:332-339); ``dont_filter`` mirrors
+    add_task(dont_filter=True)."""
     rows = []
     for i, s in enumerate(seeds):
         s = {"url": s} if isinstance(s, str) else dict(s)
@@ -92,21 +96,25 @@ def seeds_frontier(
                 s.get("callback_family", s.get("family", family)),
                 {str(k): str(v) for k, v in (s.get("meta") or {}).items()},
                 bool(s.get("ignore_exception", False)),
+                float(s.get("delay_s", 0.0)),
+                s.get("ancestor"),
+                bool(s.get("dont_filter", False)),
             )
         )
     df = spark.createDataFrame(
         rows,
         "url string, seed_idx long, method string, priority int, recrawl long, "
         "status_allowed array<int>, family string, callback_family string, "
-        "meta map<string,string>, ignore_exception boolean",
+        "meta map<string,string>, ignore_exception boolean, delay_s double, "
+        "seed_ancestor string, seed_dont_filter boolean",
     )
     df = _with_url_identity(df)
     df = (
-        df.withColumn("exetime", F.lit(float(t0)))
+        df.withColumn("exetime", F.lit(float(t0)) + F.col("delay_s"))
         .withColumn("tries", F.lit(0))
         .withColumn("depth", F.lit(0))
-        .withColumn("dont_filter", F.lit(False))
-        .withColumn("ancestor", F.col("fingerprint"))
+        .withColumn("dont_filter", F.col("seed_dont_filter"))
+        .withColumn("ancestor", F.coalesce(F.col("seed_ancestor"), F.col("fingerprint")))
         .withColumn("discovered_round", F.lit(-1))
         .withColumn("discovery_idx", F.col("seed_idx").cast("long"))
     )

@@ -1235,12 +1235,28 @@ class CrawlEngine:
         )
         self.store.write_delta("metrics", 0, metrics)
 
-    def run(self, corpus: DataFrame, max_rounds: int | None = None) -> list[dict]:
+    def run(
+        self,
+        corpus: DataFrame,
+        max_rounds: int | None = None,
+        until_ancestor: str | None = None,
+    ) -> list[dict]:
         """Run rounds until the frontier has no due rows (counter.join()
         termination analog, crawler.py:706-724) or max_rounds. Resumes from
         the last committed round automatically. Idle ticks (everything due
         in the future) are skipped arithmetically from the manifest's
-        min-exetime — the loop runs zero Spark jobs between working rounds."""
+        min-exetime — the loop runs zero Spark jobs between working rounds.
+
+        ``until_ancestor`` is the web-mode wait (counter.
+        join_by_ancestor_unfinished, reference crawler.py:337 + web.py:32):
+        stop as soon as the frontier holds no row of that ancestor group —
+        the group's every descendant fetched or terminally failed. Other
+        groups' rows stay pending in the store (resumable by a later
+        run()), like the reference crawler keeps serving after answering
+        one query. The check is one tiny filtered count per round, only in
+        this mode (never in the hot path). A group containing ``recrawl``
+        rows never completes — by design, matching the reference counter
+        (a recrawl re-enqueue re-increments its group)."""
         import math
 
         cfg = self.cfg
@@ -1289,6 +1305,15 @@ class CrawlEngine:
                 prep, self._next_prep = self._next_prep, None
                 pf, self._next_pages = self._next_pages, None
                 rnd += 1
+                if until_ancestor is not None:
+                    left = (
+                        self.store.read_frontier()
+                        .filter(F.col("ancestor") == until_ancestor)
+                        .limit(1)
+                        .count()
+                    )
+                    if left == 0:
+                        break  # group unfinished count == 0 (web.py wait)
         finally:
             self._in_run = False
             self.discard_prefetch(pf)
