@@ -638,9 +638,15 @@ EMB_PAIR_ROWS = 3  # planes (bits) per band
 EMB_PAIR_THRESHOLD = 0.40
 
 
-def q_dedup_embedding_pairs(spark, sf_dir):
+def q_dedup_embedding_pairs(
+    spark,
+    sf_dir,
+    bands: int = EMB_PAIR_BANDS,
+    rows: int = EMB_PAIR_ROWS,
+    threshold: float = EMB_PAIR_THRESHOLD,
+):
     emb = _t(spark, sf_dir, "embeddings")
-    nplanes = EMB_PAIR_BANDS * EMB_PAIR_ROWS
+    nplanes = bands * rows
     flat = emb.select(
         "vec_id", F.posexplode(F.col("embedding")).alias("i0", "v")
     ).select(
@@ -654,8 +660,8 @@ def q_dedup_embedding_pairs(spark, sf_dir):
         .agg(F.sum(F.col("v") * F.col("w")).alias("dot"))
     )
     buckets = (
-        dots.withColumn("band", F.floor(F.col("j") / EMB_PAIR_ROWS).cast("int"))
-        .withColumn("bit", (F.col("j") % EMB_PAIR_ROWS).cast("int"))
+        dots.withColumn("band", F.floor(F.col("j") / rows).cast("int"))
+        .withColumn("bit", (F.col("j") % rows).cast("int"))
         .groupBy("vec_id", "band")
         .agg(
             F.sum(
@@ -680,12 +686,27 @@ def q_dedup_embedding_pairs(spark, sf_dir):
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select("id_a", "id_b", _cosine(F.col("ea"), F.col("eb")).alias("cosine"))
-        .filter(F.col("cosine") >= F.lit(EMB_PAIR_THRESHOLD))
+        .filter(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )
 
 
-SQL_DEDUP_EMBEDDING_PAIRS = f"""
+# Production-shaped banded-LSH config (r4 verdict #8): more bands x more
+# bits per band — the bucket fan a real near-dup pass runs with (smaller
+# buckets, OR-construction recall). Same topology, fully oracled: the SQL
+# below is generated from the same parameters.
+EMB_PAIR_SCALE_BANDS = 8
+EMB_PAIR_SCALE_ROWS = 8
+
+
+def q_dedup_embedding_pairs_scale(spark, sf_dir):
+    return q_dedup_embedding_pairs(
+        spark, sf_dir, bands=EMB_PAIR_SCALE_BANDS, rows=EMB_PAIR_SCALE_ROWS
+    )
+
+
+def _sql_dedup_embedding_pairs(bands: int, rows: int, threshold: float) -> str:
+    return f"""
 WITH flat AS (
   SELECT vec_id, unnest(embedding)::DOUBLE AS v,
          unnest(range(1, len(embedding) + 1)) AS i
@@ -693,12 +714,12 @@ WITH flat AS (
 ),
 dots AS (
   SELECT vec_id, j, sum(v * (((i*31 + j*17) % 7) - 3)) AS dot
-  FROM flat, (SELECT unnest(range(0, {EMB_PAIR_BANDS * EMB_PAIR_ROWS})) AS j)
+  FROM flat, (SELECT unnest(range(0, {bands * rows})) AS j)
   GROUP BY 1, 2
 ),
 buckets AS (
-  SELECT vec_id, (j // {EMB_PAIR_ROWS}) AS band,
-         sum(CASE WHEN dot > 0 THEN 1 << (j % {EMB_PAIR_ROWS}) ELSE 0 END)::INT AS bucket
+  SELECT vec_id, (j // {rows}) AS band,
+         sum(CASE WHEN dot > 0 THEN 1 << (j % {rows}) ELSE 0 END)::INT AS bucket
   FROM dots GROUP BY 1, 2
 ),
 cand AS (
@@ -718,8 +739,16 @@ SELECT d.id_a, d.id_b, round(d.dot / (na.nrm * nb.nrm), 4) AS cosine
 FROM dot2 d
 JOIN nrm na ON d.id_a = na.vec_id
 JOIN nrm nb ON d.id_b = nb.vec_id
-WHERE round(d.dot / (na.nrm * nb.nrm), 4) >= {EMB_PAIR_THRESHOLD}
+WHERE round(d.dot / (na.nrm * nb.nrm), 4) >= {threshold}
 """
+
+
+SQL_DEDUP_EMBEDDING_PAIRS = _sql_dedup_embedding_pairs(
+    EMB_PAIR_BANDS, EMB_PAIR_ROWS, EMB_PAIR_THRESHOLD
+)
+SQL_DEDUP_EMBEDDING_PAIRS_SCALE = _sql_dedup_embedding_pairs(
+    EMB_PAIR_SCALE_BANDS, EMB_PAIR_SCALE_ROWS, EMB_PAIR_THRESHOLD
+)
 
 
 # IVF (inverted-file) ANN — the second scale path beside hyperplane LSH:
@@ -758,16 +787,23 @@ def _cosine(a, b):
     return F.round(dot / (norm(a) * norm(b)), 4)
 
 
-def q_ann_ivf_topk(spark, sf_dir):
+def q_ann_ivf_topk(
+    spark,
+    sf_dir,
+    n_centroids: int = IVF_CENTROIDS,
+    n_queries: int = IVF_QUERIES,
+    nprobe: int = IVF_NPROBE,
+    k: int = IVF_K,
+):
     emb = _t(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") < IVF_CENTROIDS).select(
+    cents = emb.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
     )
     qs = emb.filter(
-        (F.col("vec_id") >= IVF_CENTROIDS)
-        & (F.col("vec_id") < IVF_CENTROIDS + IVF_QUERIES)
+        (F.col("vec_id") >= n_centroids)
+        & (F.col("vec_id") < n_centroids + n_queries)
     ).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q"))
-    cands = emb.filter(F.col("vec_id") >= IVF_CENTROIDS + IVF_QUERIES).select(
+    cands = emb.filter(F.col("vec_id") >= n_centroids + n_queries).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c")
     )
 
@@ -790,7 +826,7 @@ def q_ann_ivf_topk(spark, sf_dir):
         qs.crossJoin(F.broadcast(cents))
         .select("q_id", "q", "cent_id", _cosine(F.col("q"), F.col("cvec")).alias("qcos"))
         .withColumn("prn", F.row_number().over(w_probe))
-        .filter(F.col("prn") <= IVF_NPROBE)
+        .filter(F.col("prn") <= nprobe)
         .select("q_id", "q", F.col("cent_id").alias("cell"))
     )
     # rerank inside probed cells only
@@ -799,12 +835,33 @@ def q_ann_ivf_topk(spark, sf_dir):
         probes.join(assigned, "cell")
         .select("q_id", "c_id", _cosine(F.col("q"), F.col("c")).alias("cosine"))
         .withColumn("rank", F.row_number().over(w_k))
-        .filter(F.col("rank") <= IVF_K)
+        .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "cosine", "rank")
     )
 
 
-SQL_ANN_IVF_TOPK = f"""
+# Production-shaped IVF config (r4 verdict #8): 64 cells, 32 queries,
+# nprobe 8, k 10 — the cell fan a real index runs with (each query
+# touches ~nprobe/cells of the corpus). Same topology, fully oracled via
+# the parameterized SQL below. At sf0.001 (50 vectors) the candidate set
+# is empty and BOTH engines return 0 rows — the config is sized for the
+# sf0.01 correctness gate (500 vectors) and the sf0.1 bench (5000).
+IVF_SCALE_CENTROIDS = 64
+IVF_SCALE_QUERIES = 32
+IVF_SCALE_NPROBE = 8
+IVF_SCALE_K = 10
+
+
+def q_ann_ivf_topk_scale(spark, sf_dir):
+    return q_ann_ivf_topk(
+        spark, sf_dir,
+        n_centroids=IVF_SCALE_CENTROIDS, n_queries=IVF_SCALE_QUERIES,
+        nprobe=IVF_SCALE_NPROBE, k=IVF_SCALE_K,
+    )
+
+
+def _sql_ann_ivf_topk(n_centroids: int, n_queries: int, nprobe: int, k: int) -> str:
+    return f"""
 WITH flat AS (
   SELECT vec_id, unnest(embedding)::DOUBLE AS v,
          unnest(range(1, len(embedding) + 1)) AS i
@@ -823,24 +880,32 @@ assigned AS (
   SELECT ida AS c_id, idb AS cell FROM (
     SELECT ida, idb,
            row_number() OVER (PARTITION BY ida ORDER BY cosine DESC, idb ASC) AS arn
-    FROM cos WHERE ida >= {IVF_CENTROIDS + IVF_QUERIES} AND idb < {IVF_CENTROIDS}
+    FROM cos WHERE ida >= {n_centroids + n_queries} AND idb < {n_centroids}
   ) WHERE arn = 1
 ),
 probes AS (
   SELECT ida AS q_id, idb AS cell FROM (
     SELECT ida, idb,
            row_number() OVER (PARTITION BY ida ORDER BY cosine DESC, idb ASC) AS prn
-    FROM cos WHERE ida >= {IVF_CENTROIDS} AND ida < {IVF_CENTROIDS + IVF_QUERIES}
-                AND idb < {IVF_CENTROIDS}
-  ) WHERE prn <= {IVF_NPROBE}
+    FROM cos WHERE ida >= {n_centroids} AND ida < {n_centroids + n_queries}
+                AND idb < {n_centroids}
+  ) WHERE prn <= {nprobe}
 )
 SELECT q_id, c_id, cosine, rank FROM (
   SELECT p.q_id, a.c_id, c.cosine,
          row_number() OVER (PARTITION BY p.q_id ORDER BY c.cosine DESC, a.c_id ASC) AS rank
   FROM probes p JOIN assigned a USING (cell)
   JOIN cos c ON c.ida = p.q_id AND c.idb = a.c_id
-) WHERE rank <= {IVF_K}
+) WHERE rank <= {k}
 """
+
+
+SQL_ANN_IVF_TOPK = _sql_ann_ivf_topk(
+    IVF_CENTROIDS, IVF_QUERIES, IVF_NPROBE, IVF_K
+)
+SQL_ANN_IVF_TOPK_SCALE = _sql_ann_ivf_topk(
+    IVF_SCALE_CENTROIDS, IVF_SCALE_QUERIES, IVF_SCALE_NPROBE, IVF_SCALE_K
+)
 
 
 # Composite corpus QUALITY GATE — the single-pass admission filter a
@@ -1546,8 +1611,16 @@ def _sub_windows(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.explode(wins).alias("win"))
 
 
-def q_dedup_exact_substring(spark, sf_dir):
+def q_dedup_exact_substring(spark, sf_dir, key: str = "string"):
+    """``key="hash"`` is the production variant the header promises:
+    every window is keyed by ``xxhash64(win)`` (8 bytes) instead of the
+    ~300-byte string — the shuffle that dominates this pass shrinks
+    ~40x. The output is key-representation-independent (collision odds
+    at any realistic scale: n^2/2^65), so the SAME string-key oracle SQL
+    verifies both variants."""
     w = _sub_windows(_t(spark, sf_dir, "documents"))
+    if key == "hash":
+        w = w.select("doc_id", F.xxhash64("win").alias("win"))
     dup_wins = (
         w.groupBy("win")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -1568,6 +1641,12 @@ def q_dedup_exact_substring(spark, sf_dir):
             F.coalesce(F.col("n_dup_windows"), F.lit(0)) / F.col("n_windows"), 4
         ).alias("dup_ratio"),
     )
+
+
+def q_dedup_substr_hashkey(spark, sf_dir):
+    """Production-key exact-substring pass (xxhash64 window keys) — same
+    oracle as the string-key demo (output is key-independent)."""
+    return q_dedup_exact_substring(spark, sf_dir, key="hash")
 
 
 SQL_DEDUP_EXACT_SUBSTRING = f"""
@@ -1704,11 +1783,18 @@ REGISTRY: dict[str, tuple] = {
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, SQL_DEDUP_MINHASH_PAIRS),
     "dedup_exact_substring": (q_dedup_exact_substring, SQL_DEDUP_EXACT_SUBSTRING),
+    # production-key variant: xxhash64 window keys; output is
+    # key-representation-independent, so the string-key SQL oracles it
+    "dedup_substr_hashkey": (q_dedup_substr_hashkey, SQL_DEDUP_EXACT_SUBSTRING),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
     "dedup_embedding_pairs": (q_dedup_embedding_pairs, SQL_DEDUP_EMBEDDING_PAIRS),
+    "dedup_embedding_pairs_scale": (
+        q_dedup_embedding_pairs_scale, SQL_DEDUP_EMBEDDING_PAIRS_SCALE
+    ),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
+    "ann_ivf_topk_scale": (q_ann_ivf_topk_scale, SQL_ANN_IVF_TOPK_SCALE),
     "corpus_quality_gate": (q_corpus_quality_gate, SQL_CORPUS_QUALITY_GATE),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),

@@ -65,6 +65,10 @@ HEADLINE_QUERIES = [
     "ann_lsh_buckets",
     "text_quality",
     "token_count",
+    # r4 verdict #6/#8: the production-parameter paths, timed per-query
+    "dedup_substr_hashkey",
+    "ann_ivf_topk_scale",
+    "dedup_embedding_pairs_scale",
 ]
 
 

@@ -1,4 +1,5 @@
-"""Round-5 additions: web-mode ancestor-group completion (until_group)."""
+"""Round-5 additions: web-mode ancestor-group completion (until_group),
+production-key exact-substring dedup, production-parameter ANN configs."""
 
 from pyspark.sql import functions as F
 
@@ -69,3 +70,21 @@ def test_until_group_default_tag_and_seed_fields(spark, tmp_path):
         spark, corpus, str(tmp_path / "s2"), ["http://site0.test/p/0"]
     )
     assert items.count() == 3  # root + 2 children
+
+
+def test_substr_hashkey_matches_string_key(spark):
+    """The xxhash64 production key must not change the output — the pass
+    is key-representation-independent (textops.q_dedup_exact_substring)."""
+    from acrawler_spark.textops import q_dedup_exact_substring
+
+    sf = "/root/testdata/sf0.001"
+    a = {r.doc_id: r for r in q_dedup_exact_substring(spark, sf).collect()}
+    b = {
+        r.doc_id: r
+        for r in q_dedup_exact_substring(spark, sf, key="hash").collect()
+    }
+    assert a.keys() == b.keys()
+    for k in a:
+        assert (a[k].n_windows, a[k].n_dup_windows, a[k].dup_ratio) == (
+            b[k].n_windows, b[k].n_dup_windows, b[k].dup_ratio
+        )
