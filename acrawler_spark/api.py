@@ -92,15 +92,19 @@ class Crawl:
 
     def http_transport(self, timeout_s: float = 10.0, delay_s: float = 0.0,
                        max_bytes: int = 4 * 1024 * 1024,
-                       user_agent: str = "acrawler-spark/0.1") -> "Crawl":
+                       user_agent: str = "acrawler-spark/0.1",
+                       keep_alive: bool = True) -> "Crawl":
         """Fetch over live HTTP (sources/netfetch.py) instead of a corpus
-        table: per-partition urllib client via mapInPandas, host-affine
-        partitions, ``delay_s`` honored between same-host requests. The
-        staging pipeline (ok/status semantics, retry/recrawl, items) is
-        transport-agnostic; ``run(..., corpus=None)`` is then valid."""
+        table: per-partition HTTP client via mapInPandas, host-affine
+        partitions, ``delay_s`` honored between same-host requests,
+        connection reuse per (scheme, host) by default
+        (``keep_alive=False`` restores the per-request urllib opener).
+        The staging pipeline (ok/status semantics, retry/recrawl, items)
+        is transport-agnostic; ``run(..., corpus=None)`` is then valid."""
         self._cfg.http_fetch = {
             "timeout_s": timeout_s, "delay_s": delay_s,
             "max_bytes": max_bytes, "user_agent": user_agent,
+            "keep_alive": keep_alive,
         }
         return self
 

@@ -29,10 +29,28 @@ many rows per host enter a round at all); the in-partition delay bounds
 the request RATE within the round, which is what the reference's Counter
 actually rate-limits between ``require`` and ``release``.
 
-Scale notes: one connection-reuse upgrade (requests.Session / aiohttp
-pool) slots into ``_open`` without touching the plan; the repartition is
-the only shuffle and its width is the executor count, not the corpus;
-bodies are read through ``max_bytes`` so one tarpit page cannot blow an
+Connection reuse (default on): each partition keeps one keep-alive
+``http.client`` connection per (scheme, netloc) — host-affine partitions
+make the pool tiny and hit-heavy. Pool failure modes, and how each is
+handled:
+
+* stale socket (server closed an idle keep-alive between requests) —
+  the request is retried ONCE on a fresh connection (GETs are
+  idempotent); a second failure is a transport-error row.
+* truncated body (page larger than ``max_bytes``) — the unread tail
+  would poison the next response on that socket, so the connection is
+  closed instead of reused.
+* server speaks HTTP/1.0 or sends ``Connection: close`` — http.client
+  marks the response ``will_close``; the connection is dropped from the
+  pool and the next request reconnects (graceful degradation to the
+  one-connection-per-request regime).
+* redirects are followed client-side (urllib's opener did this
+  implicitly), up to 10 hops, draining each redirect body so the
+  socket stays reusable; ``c_url`` remains the REQUESTED url, exactly
+  like the opener path.
+
+``keep_alive=False`` restores the per-request urllib opener. Bodies are
+read through ``max_bytes`` either way so one tarpit page cannot blow an
 Arrow batch (the same bound the corpus parse path enforces in bytes).
 """
 
@@ -51,6 +69,78 @@ PAGE_FIELDS = [
 ]
 
 
+def _keepalive_fetcher(timeout_s: float, max_bytes: int, user_agent: str):
+    """Per-partition keep-alive fetcher: (url) -> (body, charset, status),
+    raising OSError on a transport failure. One pooled connection per
+    (scheme, netloc); see the module docstring for the pool's failure
+    modes."""
+    import http.client
+    from urllib.parse import urljoin, urlsplit
+
+    conns: dict = {}
+
+    def _conn(scheme: str, netloc: str):
+        c = conns.get((scheme, netloc))
+        if c is None:
+            cls = (
+                http.client.HTTPSConnection
+                if scheme == "https"
+                else http.client.HTTPConnection
+            )
+            c = cls(netloc, timeout=timeout_s)
+            conns[(scheme, netloc)] = c
+        return c
+
+    def _drop(scheme: str, netloc: str) -> None:
+        c = conns.pop((scheme, netloc), None)
+        if c is not None:
+            try:
+                c.close()
+            except OSError:
+                pass
+
+    def _request(scheme: str, netloc: str, target: str):
+        conn = _conn(scheme, netloc)
+        conn.request(
+            "GET", target,
+            headers={"User-Agent": user_agent, "Connection": "keep-alive"},
+        )
+        return conn.getresponse()
+
+    def fetch(url: str):
+        cur = url
+        for _hop in range(10):  # urllib's redirect ceiling
+            p = urlsplit(cur)
+            scheme, netloc = p.scheme, p.netloc
+            target = (p.path or "/") + (f"?{p.query}" if p.query else "")
+            try:
+                resp = _request(scheme, netloc, target)
+            except (http.client.HTTPException, OSError):
+                # stale keep-alive socket — one retry on a fresh conn
+                _drop(scheme, netloc)
+                resp = _request(scheme, netloc, target)
+            if resp.status in (301, 302, 303, 307, 308):
+                loc = resp.getheader("Location")
+                resp.read()  # drain so the socket stays reusable
+                if resp.will_close:
+                    _drop(scheme, netloc)
+                if not loc:
+                    return None, None, int(resp.status)
+                cur = urljoin(cur, loc)
+                continue
+            body = resp.read(max_bytes)
+            charset = resp.headers.get_content_charset() or "utf-8"
+            if not resp.isclosed() and resp.read(1):
+                # truncated at max_bytes: the unread tail poisons reuse
+                _drop(scheme, netloc)
+            elif resp.will_close:
+                _drop(scheme, netloc)
+            return body, charset, int(resp.status)
+        return None, None, 310  # redirect loop (urllib raises; miss row)
+
+    return fetch
+
+
 def build_fetch_http(
     selected_ranked: DataFrame,
     frontier_cols: list,
@@ -60,6 +150,7 @@ def build_fetch_http(
     max_bytes: int = 4 * 1024 * 1024,
     user_agent: str = "acrawler-spark/0.1",
     n_partitions: int = None,
+    keep_alive: bool = True,
 ) -> DataFrame:
     """The round's fetch over live HTTP, same output shape as
     ``build_fetch_join`` (``frontier_cols`` + rank + c_url/html/encoding/
@@ -74,12 +165,18 @@ def build_fetch_http(
     out_schema = T.StructType(list(src.schema.fields) + PAGE_FIELDS)
 
     def fetch_partition(batches):
+        import http.client
         import socket
         import urllib.error
         import urllib.request
         from urllib.parse import urlsplit
 
-        opener = urllib.request.build_opener()
+        opener = None if keep_alive else urllib.request.build_opener()
+        ka = (
+            _keepalive_fetcher(timeout_s, max_bytes, user_agent)
+            if keep_alive
+            else None
+        )
         last_hit: dict = {}  # host -> monotonic time of its last request
 
         def fetch_one(url):
@@ -90,6 +187,19 @@ def build_fetch_http(
                 if wait > 0:
                     time.sleep(wait)
             last_hit[host] = time.monotonic()
+            if keep_alive:
+                try:
+                    body, charset, status = ka(url)
+                except (http.client.HTTPException, socket.timeout, OSError,
+                        ValueError):
+                    # transport error: the build_misses row (404, null body)
+                    return None, None, None, 404
+                # parity with the opener path: error statuses coalesce an
+                # empty body to NULL (urllib's HTTPError branch), success
+                # statuses keep it verbatim
+                if status >= 400:
+                    body = body or None
+                return url, body, charset, status
             req = urllib.request.Request(url, headers={"User-Agent": user_agent})
             try:
                 with opener.open(req, timeout=timeout_s) as resp:

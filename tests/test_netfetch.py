@@ -15,8 +15,17 @@ GONE = b"<html><body>it is gone</body></html>"
 
 
 class _Handler(http.server.BaseHTTPRequestHandler):
+    # HTTP/1.1: keep-alive honored (we always send Content-Length), so the
+    # connection-reuse client can actually hold sockets open against this
+    # fixture; the urllib path still closes per request.
+    protocol_version = "HTTP/1.1"
     hits = []  # (path, monotonic time) — shared, server runs in this process
     site = {}  # path -> body, for the transport-equivalence crawl
+    conns = 0  # TCP connections accepted (one handler instance each)
+
+    def setup(self):
+        _Handler.conns += 1
+        super().setup()
 
     def do_GET(self):
         _Handler.hits.append((self.path, time.monotonic()))
@@ -105,6 +114,37 @@ def test_per_host_delay_honored(spark, server):
     assert len(times) == 4
     gaps = [b - a for a, b in zip(times, times[1:])]
     assert min(gaps) >= 0.25  # 0.35 requested; slack for clock granularity
+
+
+def test_keep_alive_reuses_connections(spark, server):
+    """Connection-reuse upgrade (r4 verdict #7): several same-host fetches
+    ride ONE TCP connection with keep_alive on; the opener path opens one
+    per request. Same rows either way."""
+    from acrawler_spark.sources.netfetch import build_fetch_http
+
+    urls = [f"{server}/p{i}" for i in range(6)]  # one host -> one partition
+
+    _Handler.conns = 0
+    ka = build_fetch_http(
+        _selected(spark, urls), COLS, timeout_s=5.0, keep_alive=True
+    ).collect()
+    conns_ka = _Handler.conns
+
+    _Handler.conns = 0
+    plain = build_fetch_http(
+        _selected(spark, urls), COLS, timeout_s=5.0, keep_alive=False
+    ).collect()
+    conns_plain = _Handler.conns
+
+    assert conns_ka == 1
+    assert conns_plain == len(urls)
+    # byte-identical rows across both clients
+    key = lambda r: r["url"]  # noqa: E731
+    for a, b in zip(sorted(ka, key=key), sorted(plain, key=key)):
+        assert (a["url"], a["c_url"], a["status"], a["encoding"],
+                bytes(a["html"])) == (
+            b["url"], b["c_url"], b["status"], b["encoding"], bytes(b["html"])
+        )
 
 
 def test_output_shape_matches_corpus_transport(spark, server):
