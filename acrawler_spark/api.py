@@ -153,6 +153,19 @@ class Crawl:
         ]
         self._cfg.seeds = list(self._cfg.seeds) + group
         store = CheckpointStore(workdir, spark)
+        if store.last_round >= 0:
+            # CrawlEngine.run only plants cfg.seeds when the store is fresh
+            # (bootstrap at last_round < 0): against a resumed store the new
+            # group's urls would never enter the frontier, the ancestor wait
+            # would end after one round, and the deterministic tag could
+            # return a PREVIOUS run's items as if freshly crawled (ADVICE
+            # r5). Fail loudly instead of silently answering wrong.
+            raise ValueError(
+                "until_group needs a fresh workdir: "
+                f"{workdir!r} already has committed rounds "
+                f"(last_round={store.last_round}). Use a new workdir per "
+                "query group, or resume the pending store with run()."
+            )
         CrawlEngine(spark, self._cfg, store).run(corpus, until_ancestor=tag)
         pages = store.read_appended("pages")
         return items_view(pages.filter(F.col("ancestor") == tag))

@@ -109,6 +109,7 @@ def _keepalive_fetcher(timeout_s: float, max_bytes: int, user_agent: str):
 
     def fetch(url: str):
         cur = url
+        last_status = None
         for _hop in range(10):  # urllib's redirect ceiling
             p = urlsplit(cur)
             scheme, netloc = p.scheme, p.netloc
@@ -121,11 +122,17 @@ def _keepalive_fetcher(timeout_s: float, max_bytes: int, user_agent: str):
                 resp = _request(scheme, netloc, target)
             if resp.status in (301, 302, 303, 307, 308):
                 loc = resp.getheader("Location")
-                resp.read()  # drain so the socket stays reusable
-                if resp.will_close:
+                # drain at most max_bytes so the socket stays reusable — a
+                # redirect carrying a bigger (or slow-drip chunked) body is
+                # the tarpit the bound exists for: drop the connection
+                # instead of draining it (ADVICE r5: the unbounded read()
+                # here contradicted the module's max_bytes guarantee)
+                resp.read(max_bytes)
+                if (not resp.isclosed() and resp.read(1)) or resp.will_close:
                     _drop(scheme, netloc)
                 if not loc:
                     return None, None, int(resp.status)
+                last_status = int(resp.status)
                 cur = urljoin(cur, loc)
                 continue
             body = resp.read(max_bytes)
@@ -136,7 +143,10 @@ def _keepalive_fetcher(timeout_s: float, max_bytes: int, user_agent: str):
             elif resp.will_close:
                 _drop(scheme, netloc)
             return body, charset, int(resp.status)
-        return None, None, 310  # redirect loop (urllib raises; miss row)
+        # redirect loop exhausted: surface the LAST hop's actual 3xx status,
+        # matching the urllib branch (HTTPError carries the final 3xx code)
+        # — not a fabricated 310 that no status_allowed list ever contains
+        return None, None, last_status
 
     return fetch
 

@@ -29,6 +29,14 @@ class _Handler(http.server.BaseHTTPRequestHandler):
 
     def do_GET(self):
         _Handler.hits.append((self.path, time.monotonic()))
+        if self.path.startswith("/loop"):
+            # two-node redirect cycle: /loopA <-> /loopB
+            other = "/loopB" if self.path == "/loopA" else "/loopA"
+            self.send_response(302)
+            self.send_header("Location", other)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
         if self.path in _Handler.site:
             body = _Handler.site[self.path]
             self.send_response(200)
@@ -206,3 +214,24 @@ def test_http_transport_equals_corpus_transport(spark, server, tmp_path):
         return seen, pages, items
 
     assert snap(s_http) == snap(s_corpus)
+
+
+def test_redirect_loop_surfaces_last_hop_status(spark, server):
+    """A redirect cycle exhausts the hop ceiling and surfaces the LAST
+    hop's actual 3xx status with a null body (parity with the urllib
+    branch, where the loop raises HTTPError carrying the final 3xx code)
+    — never a fabricated status no status_allowed list contains."""
+    from acrawler_spark.sources.netfetch import build_fetch_http
+
+    urls = [f"{server}/loopA", f"{server}/p1"]
+    out = build_fetch_http(
+        _selected(spark, urls), COLS, timeout_s=5.0, keep_alive=True
+    )
+    rows = {r["url"]: r for r in out.collect()}
+    loop = rows[f"{server}/loopA"]
+    assert loop["status"] == 302
+    assert loop["html"] is None
+    assert loop["c_url"] == f"{server}/loopA"
+    # the pooled connection survives the loop: the next URL on the same
+    # host still fetches fine
+    assert rows[f"{server}/p1"]["status"] == 200
