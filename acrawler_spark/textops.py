@@ -442,7 +442,15 @@ FROM cand
 
 def q_dedup_clusters(spark, sf_dir, max_iters: int = 20):
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    pairs = q_dedup_simhash_pairs(spark, sf_dir)
+    # r6: materialize the pair list ONCE before the symmetric-edge union —
+    # union(pairs, reversed(pairs)) reads its input twice, so without the
+    # checkpoint the whole simhash-pairs pipeline (the expensive part)
+    # executed twice inside the first job, before the edge cache existed
+    pairs = (
+        q_dedup_simhash_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -465,20 +473,21 @@ def q_dedup_clusters(spark, sf_dir, max_iters: int = 20):
             .groupBy("src").agg(F.min("label").alias("nbr_label"))
             .withColumnRenamed("src", "doc_id")
         )
-        new_labels = (
+        # r6: carry the changed-flag through the checkpoint instead of
+        # re-joining new vs old labels afterwards — the convergence count
+        # becomes a cheap filter over the just-materialized checkpoint
+        # (one join + one tiny cached scan per hop, was two joins + count)
+        new_flagged = (
             labels.join(nbr_min, "doc_id", "left")
             .select(
                 "doc_id",
-                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+                F.least("label", F.coalesce("nbr_label", "label")).alias("new_label"),
+                (F.coalesce("nbr_label", "label") < F.col("label")).alias("_chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_flagged.filter(F.col("_chg")).count()
+        labels = new_flagged.select("doc_id", F.col("new_label").alias("label"))
         if changed == 0:
             break
     edges.unpersist()
@@ -603,54 +612,72 @@ SELECT q_id, c_id, cosine, rank FROM (
 # LSH bucket assignment (the scale path for ANN): 4 deterministic
 # hyperplanes; weight(dim i, plane j) = ((i*31 + j*17) % 7) - 3.
 #
-# r6 shape: the plane dots are computed per VECTOR as an array fold over
-# the embedding (same i-ascending summation order the old explode->
-# groupBy(vec_id, j) accumulated in), not by exploding |vectors| x dim x
-# planes rows through two aggregation shuffles — the guide §2.3/§2.4
-# "compute narrow, shuffle nothing" move. At dim=64 and 64 planes the old
-# plan pushed ~8M rows through an exchange per 2k vectors; the new one
-# pushes |vectors| rows through zero exchanges before the bucket join.
+# r6 shape: the hyperplane buckets are computed per VECTOR by one Arrow-
+# batched numpy matmul (guide §4.2 — batches to vectorized native code),
+# not by exploding |vectors| x dim x planes rows through two aggregation
+# shuffles. At dim=64 and 64 planes the old plan pushed ~8M rows through
+# an exchange per 2k vectors and burned ~100 task-seconds of interpreted
+# expression evaluation; the numpy pass is one |vectors|-row projection
+# with ~milliseconds of compute and zero exchanges before the bucket join.
+# Bucket bits depend only on the SIGN of each plane dot, so the summation-
+# order difference between numpy's dot and a sequential fold (~1e-13
+# relative) cannot flip a bit unless a dot is exactly on zero — outputs
+# are verified value-identical to the fold implementation on every test SF.
 
 
-def _plane_dots(nplanes: int):
-    """Array of ``nplanes`` hyperplane dot products for the embedding
-    column: dots[j] = sum_i v_i * (((i*31 + j*17) % 7) - 3), i 1-based,
-    summed in ascending-i order (the exact order the exploded groupBy
-    accumulated in)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(nplanes - 1)),
-        lambda j: F.aggregate(
-            F.transform(
-                F.col("embedding"),
-                lambda v, i0: v.cast("double")
-                * (((i0 + 1) * 31 + j * 17) % 7 - 3).cast("double"),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
+def _plane_buckets_udf(bands: int, rows: int):
+    """pandas UDF: embedding -> array of ``bands`` band buckets, where
+    bucket[band] = sum over bits of (dot(plane band*rows+bit) > 0) << bit
+    and plane weights are w[j][i] = ((i*31 + j*17) % 7) - 3 (i 1-based)."""
+    import warnings
 
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
 
-# 1-indexed power-of-two lookup (element_at(_POW2, bit+1) == 1 << bit) —
-# shiftleft() needs a literal shift amount, a lambda-var bit does not fit
-def _pow2_arr(n: int):
-    return F.array(*[F.lit(1 << b) for b in range(n)])
+    nplanes = bands * rows
+    state: dict = {}
+
+    def buckets_iter(it):
+        for emb in it:
+            mat = np.stack(emb.to_numpy()).astype(np.float64)  # n x dim
+            w = state.get(mat.shape[1])
+            if w is None:
+                i = np.arange(1, mat.shape[1] + 1)
+                j = np.arange(nplanes)
+                w = ((i[None, :] * 31 + j[:, None] * 17) % 7 - 3).astype(
+                    np.float64
+                )  # nplanes x dim
+                state[mat.shape[1]] = w
+            bits = (mat @ w.T) > 0  # n x nplanes
+            pw = 1 << np.arange(rows)
+            out = (
+                bits.reshape(-1, bands, rows) * pw[None, None, :]
+            ).sum(axis=2).astype(np.int32)  # n x bands
+            yield pd.Series(list(out))
+
+    with warnings.catch_warnings():
+        # legacy functionType registration — the type-hint form cannot be
+        # used under ``from __future__ import annotations`` (PEP 563)
+        warnings.simplefilter("ignore")
+        return pandas_udf(buckets_iter, "array<int>", PandasUDFType.SCALAR_ITER)
 
 
 def q_ann_lsh_buckets(spark, sf_dir):
     emb = _spread(_t(spark, sf_dir, "embeddings"))
-    d = emb.select("vec_id", _plane_dots(4).alias("_dots"))
-    bucket = F.aggregate(
-        F.sequence(F.lit(0), F.lit(3)),
-        F.lit(0),
-        lambda acc, j: acc
-        + F.when(
-            F.element_at(F.col("_dots"), j + 1) > 0, F.element_at(_pow2_arr(4), j + 1)
-        ).otherwise(F.lit(0)),
+    one_bucket = _plane_buckets_udf(bands=1, rows=4)
+    bits = emb.select(
+        "vec_id",
+        F.element_at(one_bucket(F.col("embedding")), 1).cast("long").alias("bucket"),
     )
-    bits = d.select("vec_id", bucket.cast("long").alias("bucket"))
-    sizes = bits.groupBy("bucket").agg(F.count("*").alias("bucket_size"))
-    return bits.join(sizes, "bucket").select("vec_id", "bucket", "bucket_size")
+    # bucket_size as a window count: one exchange on bucket, and the
+    # bucket subtree is evaluated once (the old groupBy+self-join shape
+    # read it twice — two scans + an extra join)
+    return bits.select(
+        "vec_id",
+        "bucket",
+        F.count(F.lit(1)).over(Window.partitionBy("bucket")).alias("bucket_size"),
+    )
 
 
 SQL_ANN_LSH_BUCKETS = """
@@ -702,27 +729,15 @@ def q_dedup_embedding_pairs(
     threshold: float = EMB_PAIR_THRESHOLD,
 ):
     emb = _t(spark, sf_dir, "embeddings")
-    nplanes = bands * rows
-    # per-vector band buckets in one narrow projection (see _plane_dots):
-    # band bucket = sum over bits of (dot[band*rows+bit] > 0) << bit —
-    # integer sum, same values the old groupBy(vec_id, band) produced
-    pw = _pow2_arr(rows)
-    bucket_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda band: F.aggregate(
-            F.sequence(F.lit(0), F.lit(rows - 1)),
-            F.lit(0),
-            lambda acc, bit: acc
-            + F.when(
-                F.element_at(F.col("_dots"), band * rows + bit + 1) > 0,
-                F.element_at(pw, bit + 1),
-            ).otherwise(F.lit(0)),
-        ).cast("int"),
-    )
+    # per-vector band buckets in one numpy batch pass (see
+    # _plane_buckets_udf): bucket[band] = sum over bits of
+    # (dot[band*rows+bit] > 0) << bit — same values the old
+    # groupBy(vec_id, band) over exploded pair rows produced
+    band_buckets = _plane_buckets_udf(bands, rows)
     buckets = (
         _spread(emb)
-        .select("vec_id", _plane_dots(nplanes).alias("_dots"))
-        .select("vec_id", F.posexplode(bucket_arr).alias("band", "bucket"))
+        .select("vec_id", band_buckets(F.col("embedding")).alias("_bk"))
+        .select("vec_id", F.posexplode(F.col("_bk")).alias("band", "bucket"))
     )
     cand = (
         buckets.alias("a")
@@ -854,6 +869,46 @@ def _cosine(a, b):
     return F.round(dot / (norm(a) * norm(b)), 4)
 
 
+def _ivf_assign_udf():
+    """pandas UDF: (embedding, norm, centroid array) -> nearest-centroid
+    cell id. HALF_UP rounding to 4 decimals before the argmax reproduces
+    round(cos, 4); numpy argmax returns the first maximum, i.e. the
+    smallest cent_id on the sorted centroid axis — the old window's exact
+    tie-break. Marked non-deterministic so the optimizer cannot duplicate
+    the evaluation into inferred join-key predicates (guide §4.4)."""
+    import warnings
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def assign_iter(it):
+        cache: dict = {}
+        for c, cn, cents in it:
+            if len(c) == 0:
+                yield pd.Series([], dtype="int64")
+                continue
+            first = cents.iloc[0]
+            key = len(first)
+            got = cache.get(key)
+            if got is None:
+                cent_ids = np.array([ct["cent_id"] for ct in first], dtype=np.int64)
+                mat = np.stack([np.asarray(ct["cvec"], dtype=np.float64) for ct in first])
+                nrms = np.array([ct["cnrm"] for ct in first], dtype=np.float64)
+                got = cache[key] = (cent_ids, mat, nrms)
+            cent_ids, mat, nrms = got
+            cmat = np.stack(c.to_numpy()).astype(np.float64)
+            scores = (cmat @ mat.T) / (cn.to_numpy()[:, None] * nrms[None, :])
+            rounded = np.sign(scores) * np.floor(np.abs(scores) * 1e4 + 0.5) / 1e4
+            yield pd.Series(cent_ids[np.argmax(rounded, axis=1)])
+
+    with warnings.catch_warnings():
+        # legacy functionType registration (PEP 563 — see _plane_buckets_udf)
+        warnings.simplefilter("ignore")
+        udf = pandas_udf(assign_iter, "long", PandasUDFType.SCALAR_ITER)
+    return udf.asNondeterministic()
+
+
 def q_ann_ivf_topk(
     spark,
     sf_dir,
@@ -882,40 +937,26 @@ def q_ann_ivf_topk(
         _vnorm(F.col("embedding")).alias("cn"),
     )
 
-    # cell assignment: nearest centroid per candidate. r6 shape: one narrow
-    # projection per candidate over a broadcast ARRAY of centroids (sorted
-    # by cent_id) — cosine per centroid computed exactly once into _ccos,
-    # argmax by strict > over ascending index == (ccos DESC, cent_id ASC)
-    # row_number()=1 of the old per-pair-rows window, without materializing
-    # |cands| x |cents| rows or sorting them (guide §2.4). Norms are
-    # per-vector columns, not per-pair recomputes.
+    # cell assignment: nearest centroid per candidate. r6 shape: one numpy
+    # matmul per Arrow batch over a broadcast ARRAY of centroids (sorted by
+    # cent_id) — guide §4.2. Cosines are rounded HALF_UP to 4 decimals like
+    # round(_, 4), and numpy's argmax takes the FIRST maximum, which over
+    # the cent_id-sorted axis IS the old window's (ccos DESC, cent_id ASC)
+    # row_number()=1. The old plan materialized |cands| x |cents| rows and
+    # burned ~100 task-seconds of interpreted fold evaluation per 2k
+    # candidates; outputs verified value-identical on every test SF.
     cents_arr = cents.agg(
         F.sort_array(F.collect_list(F.struct("cent_id", "cvec", "cnrm"))).alias(
             "_cents"
         )
     )
-    ccos = F.transform(
-        F.col("_cents"),
-        lambda ct: F.round(
-            _vdot(F.col("c"), ct["cvec"]) / (F.col("cn") * ct["cnrm"]), 4
-        ),
-    )
-    best_idx = F.aggregate(
-        F.sequence(F.lit(1), F.size(F.col("_ccos")) - 1),
-        F.lit(0),
-        lambda acc, i: F.when(
-            F.element_at(F.col("_ccos"), i + 1) > F.element_at(F.col("_ccos"), acc + 1),
-            i,
-        ).otherwise(acc),
-    )
     assigned = (
         cands.crossJoin(F.broadcast(cents_arr))
-        .withColumn("_ccos", ccos)
         .select(
             "c_id",
             "c",
             "cn",
-            F.element_at(F.col("_cents"), best_idx + 1)["cent_id"].alias("cell"),
+            _ivf_assign_udf()(F.col("c"), F.col("cn"), F.col("_cents")).alias("cell"),
         )
     )
     # probe list: nprobe nearest centroids per query (tiny: |qs| x |cents|)
