@@ -60,6 +60,11 @@ FROM documents GROUP BY 1
 # ---------------------------------------------------------------------------
 
 def _shingles(docs: DataFrame, max_doc: int) -> DataFrame:
+    # r6 note: a per-doc Python shingle UDF was tried and REVERTED — at the
+    # jaccard/minhash operating size (max_doc <= 300 docs) the two Python
+    # stage round-trips (the shingle subtree is read twice by the df-cap
+    # join) cost more than the window chain they replaced (measured 0.55s
+    # -> 1.15s). The JVM window-lead construction stays.
     d = docs.filter(F.col("doc_id") < max_doc).select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
     )
@@ -218,31 +223,60 @@ FROM sig
 # then work in comfortably-signed BIGINT space with zero 1<<63 overflow
 # games, and Hamming distance is popcount(hi^hi') + popcount(lo^lo').
 
-def q_dedup_simhash(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    tok = (
-        docs.select(
-            "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("w")
+def _simhash_udf():
+    """pandas UDF: text -> struct(simhash_hi, simhash_lo). EXACT integer
+    replica of the explode + 64-conditional-sum aggregation (r6): per
+    distinct token, h_lo/h_hi are the two 32-bit md5 hex slices (hashlib
+    md5 == Spark md5 byte-for-byte); per bit, sum +1/-1 over tokens; bit
+    set where the sum is positive. All-integer arithmetic — no float
+    contract involved. The old plan exploded ~|docs| x |distinct tokens|
+    rows through a 64-aggregate shuffle and compiled a 64-expression-wide
+    codegen stage; this is one scan, one Arrow batch stage, zero
+    pre-aggregation shuffles."""
+    import hashlib
+    import warnings
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def simhash_iter(it):
+        bit_idx = np.arange(32, dtype=np.int64)
+        for texts in it:
+            his = np.empty(len(texts), dtype=np.int64)
+            los = np.empty(len(texts), dtype=np.int64)
+            for r, text in enumerate(texts):
+                toks = set(text.split(" "))
+                n = len(toks)
+                lo_counts = np.zeros(32, dtype=np.int64)
+                hi_counts = np.zeros(32, dtype=np.int64)
+                for w in toks:
+                    hx = hashlib.md5(w.encode("utf-8")).hexdigest()
+                    h_lo = int(hx[:8], 16)
+                    h_hi = int(hx[8:16], 16)
+                    lo_counts += (h_lo >> bit_idx) & 1
+                    hi_counts += (h_hi >> bit_idx) & 1
+                # bit sum = ones - (n - ones); positive iff 2*ones > n
+                los[r] = int(((2 * lo_counts > n).astype(np.int64) << bit_idx).sum())
+                his[r] = int(((2 * hi_counts > n).astype(np.int64) << bit_idx).sum())
+            yield pd.DataFrame({"simhash_hi": his, "simhash_lo": los})
+
+    with warnings.catch_warnings():
+        # legacy functionType registration (PEP 563 — see _plane_buckets_udf)
+        warnings.simplefilter("ignore")
+        return pandas_udf(
+            simhash_iter,
+            "simhash_hi long, simhash_lo long",
+            PandasUDFType.SCALAR_ITER,
         )
-        .withColumn("h_lo", _h32(F.col("w")))
-        .withColumn("h_hi", F.conv(F.substring(F.md5(F.col("w")), 9, 8), 16, 10).cast("long"))
-    )
-    def bit_agg(src: str, j: int, name: str):
-        return F.sum(
-            F.when(F.shiftright(F.col(src), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(name)
-    bit_sums = tok.groupBy("doc_id").agg(
-        *[bit_agg("h_lo", j, f"lo{j}") for j in range(32)],
-        *[bit_agg("h_hi", j, f"hi{j}") for j in range(32)],
-    )
-    def recombine(prefix: str):
-        sim = None
-        for j in range(32):
-            term = F.when(F.col(f"{prefix}{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-            sim = term if sim is None else sim + term
-        return sim.cast("long")
-    return bit_sums.select(
-        "doc_id", recombine("hi").alias("simhash_hi"), recombine("lo").alias("simhash_lo")
+
+
+def q_dedup_simhash(spark, sf_dir):
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    sim = _simhash_udf()
+    return docs.select("doc_id", sim(F.col("text")).alias("_s")).select(
+        "doc_id", F.col("_s.simhash_hi").alias("simhash_hi"),
+        F.col("_s.simhash_lo").alias("simhash_lo"),
     )
 
 
