@@ -57,9 +57,10 @@ def main() -> int:
         spark.sparkContext.setJobDescription(f"bench_extra: {name}")
         best = None
         for _ in range(max(1, args.reps)):
-            df = qs[name](spark, args.sf)
+            # construction INSIDE the timed region — bench.py's (frozen)
+            # methodology; the iterative queries run eager jobs there
             t0 = time.monotonic()
-            df.write.format("noop").mode("overwrite").save()
+            qs[name](spark, args.sf).write.format("noop").mode("overwrite").save()
             dt = time.monotonic() - t0
             best = dt if best is None else min(best, dt)
         out[name] = round(best, 3)
