@@ -242,23 +242,42 @@ def _simhash_udf():
 
     def simhash_iter(it):
         bit_idx = np.arange(32, dtype=np.int64)
+        # md5 is recomputed for every (doc, token) occurrence but depends
+        # only on the token: cache token -> 64 bit flags in a per-TASK
+        # table (guide §4.5 — heavyweight work once per task), so each
+        # distinct token is hashed once and a doc's bit counts collapse to
+        # one vectorized gather-sum over its token rows.
+        tok_ids: dict = {}
+        cap = 1024
+        table = np.zeros((cap, 64), dtype=np.int64)  # [lo bits 0..31 | hi bits 0..31]
+        size = 0
         for texts in it:
             his = np.empty(len(texts), dtype=np.int64)
             los = np.empty(len(texts), dtype=np.int64)
             for r, text in enumerate(texts):
                 toks = set(text.split(" "))
                 n = len(toks)
-                lo_counts = np.zeros(32, dtype=np.int64)
-                hi_counts = np.zeros(32, dtype=np.int64)
-                for w in toks:
-                    hx = hashlib.md5(w.encode("utf-8")).hexdigest()
-                    h_lo = int(hx[:8], 16)
-                    h_hi = int(hx[8:16], 16)
-                    lo_counts += (h_lo >> bit_idx) & 1
-                    hi_counts += (h_hi >> bit_idx) & 1
+                ids = np.empty(n, dtype=np.int64)
+                for k, w in enumerate(toks):
+                    i = tok_ids.get(w)
+                    if i is None:
+                        hx = hashlib.md5(w.encode("utf-8")).hexdigest()
+                        h_lo = int(hx[:8], 16)
+                        h_hi = int(hx[8:16], 16)
+                        if size == cap:
+                            cap *= 2
+                            grown = np.zeros((cap, 64), dtype=np.int64)
+                            grown[:size] = table
+                            table = grown
+                        table[size, :32] = (h_lo >> bit_idx) & 1
+                        table[size, 32:] = (h_hi >> bit_idx) & 1
+                        i = tok_ids[w] = size
+                        size += 1
+                    ids[k] = i
+                counts = table[ids].sum(axis=0)
                 # bit sum = ones - (n - ones); positive iff 2*ones > n
-                los[r] = int(((2 * lo_counts > n).astype(np.int64) << bit_idx).sum())
-                his[r] = int(((2 * hi_counts > n).astype(np.int64) << bit_idx).sum())
+                los[r] = int(((2 * counts[:32] > n).astype(np.int64) << bit_idx).sum())
+                his[r] = int(((2 * counts[32:] > n).astype(np.int64) << bit_idx).sum())
             yield pd.DataFrame({"simhash_hi": his, "simhash_lo": los})
 
     with warnings.catch_warnings():
@@ -344,7 +363,13 @@ def _simhash_bands(sim: DataFrame) -> DataFrame:
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
-    bands = _simhash_bands(q_dedup_simhash(spark, sf_dir))
+    # the signature subtree feeds BOTH sides of the band self-join: an
+    # eager localCheckpoint computes the Arrow simhash pass once (3 longs
+    # per doc — tiny) instead of twice, and truncates the lineage the
+    # join would otherwise duplicate (guide §5 persist-on-reuse; same
+    # pattern as dedup_clusters' edge list)
+    sim = q_dedup_simhash(spark, sf_dir).localCheckpoint(eager=True)
+    bands = _simhash_bands(sim)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -768,10 +793,18 @@ def q_dedup_embedding_pairs(
     # (dot[band*rows+bit] > 0) << bit — same values the old
     # groupBy(vec_id, band) over exploded pair rows produced
     band_buckets = _plane_buckets_udf(bands, rows)
+    # eager localCheckpoint: the bucket rows ((vec_id, band, bucket) —
+    # 3 small ints) feed BOTH sides of the band self-join, and the join's
+    # pushed-down isnotnull filters additionally make the optimizer
+    # duplicate the Python stage per side (guide §4.4) — without the
+    # checkpoint the Arrow bucket pass ran FOUR times (plans/r06/
+    # dedup_embedding_pairs_scale_after.txt nodes 3/7/13/17); with it the
+    # embeddings cross the Python boundary once
     buckets = (
         _spread(emb)
         .select("vec_id", band_buckets(F.col("embedding")).alias("_bk"))
         .select("vec_id", F.posexplode(F.col("_bk")).alias("band", "bucket"))
+        .localCheckpoint(eager=True)
     )
     cand = (
         buckets.alias("a")

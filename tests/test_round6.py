@@ -61,3 +61,40 @@ def test_corpus_mix_report_total_chars_matches_oracle_dtype(spark):
     # values are exact integers despite the double carrier
     rows = df.limit(5).collect()
     assert all(float(r["total_chars"]).is_integer() for r in rows)
+
+
+def test_simhash_token_cache_matches_direct_hashlib(spark, tmp_path):
+    """The per-task token->bit-table cache inside _simhash_udf must be an
+    exact integer replica of hashing every (doc, token) occurrence
+    directly — including cache-growth past the initial table capacity and
+    tokens repeated across docs (the cache-hit path)."""
+    import hashlib
+    import random
+
+    from acrawler_spark.textops import q_dedup_simhash
+
+    rng = random.Random(6)
+    vocab = [f"w{i}" for i in range(2500)]  # > the 1024 initial table cap
+    rows = [
+        (d, " ".join(rng.choice(vocab) for _ in range(40))) for d in range(60)
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+
+    def ref(text: str) -> tuple[int, int]:
+        toks = set(text.split(" "))
+        hi = lo = 0
+        for j in range(32):
+            shi = slo = 0
+            for w in toks:
+                hx = hashlib.md5(w.encode("utf-8")).hexdigest()
+                slo += 1 if (int(hx[:8], 16) >> j) & 1 else -1
+                shi += 1 if (int(hx[8:16], 16) >> j) & 1 else -1
+            lo |= (1 << j) if slo > 0 else 0
+            hi |= (1 << j) if shi > 0 else 0
+        return hi, lo
+
+    got = {r.doc_id: (r.simhash_hi, r.simhash_lo) for r in q_dedup_simhash(spark, sf).collect()}
+    assert got == {d: ref(t) for d, t in rows}
