@@ -613,8 +613,15 @@ def _spread(df: DataFrame) -> DataFrame:
     an explicit width the whole stage lands on 1-2 tasks (measured: the
     driver's r5 bench ran ann_ivf_topk_scale 20x slower than self-runs —
     single-task collapse). Width scales with the session (defaultParallelism),
-    never a local constant."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    never a local constant — and when the scan is ALREADY at least that wide
+    (a real multi-split corpus at scale) the repartition is skipped outright:
+    shuffling a wide scan DOWN to core count would pay a full-input exchange
+    only to reduce parallelism. Output is partition-layout-independent either
+    way (verified old-vs-new at every test SF)."""
+    width = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= width:
+        return df
+    return df.repartition(width)
 
 
 def q_embedding_topk(spark, sf_dir, n_queries: int = 5, k: int = 3):
